@@ -1,0 +1,89 @@
+"""PAF emission (Uncalled-style modified PAF).
+
+Reproduces the reference's output format exactly: mapped lines
+(rmap.cpp:961-963) and unmapped lines (rmap.cpp:965), with the tag string
+built in map_worker_for (rmap.cpp:730-747,760-790). Float tags use C++
+std::to_string formatting (6 fixed decimals).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+def _f(x: float) -> str:
+    """std::to_string(float): fixed 6 decimals."""
+    return f"{x:.6f}"
+
+
+@dataclasses.dataclass
+class MappingResult:
+    """One read's final mapping outcome (mirror of ri_reg1_t, rmap.h:48-64)."""
+
+    read_name: str
+    read_length: int
+    mapped: bool
+    # mapped-only fields
+    read_start_position: int = 0
+    read_end_position: int = 0
+    ref_name: str = ""
+    ref_len: int = 0
+    fragment_start_position: int = 0
+    fragment_length: int = 0
+    rev: int = 0
+    mapq: int = 0
+    tags: str = ""
+
+
+def build_tags(
+    *,
+    mapping_time_ms: float,
+    n_chunks: int,
+    qlen: int,
+    n_anchors0: int = 0,
+    n_chains: int = 0,
+    s1: float = 0.0,
+    s2: float = 0.0,
+    sm: float = 0.0,
+    at: float = 0.0,
+    aq: float = 0.0,
+    mapped_with_chains: bool = False,
+    alns: float | None = None,
+    aln: str | None = None,
+    anchors: str | None = None,
+) -> str:
+    """Tag string (rmap.cpp:730-747 mapped; 760-790 unmapped)."""
+    tags = f"mt:f:{_f(mapping_time_ms)}"
+    tags += f"\tci:i:{n_chunks}"
+    tags += f"\tsl:i:{qlen}"
+    if mapped_with_chains or n_chains >= 1:
+        tags += f"\tcm:i:{n_anchors0}"
+        tags += f"\tnc:i:{n_chains}"
+        tags += f"\ts1:f:{_f(s1)}"
+        tags += f"\ts2:f:{_f(s2)}"
+        tags += f"\tsm:f:{_f(sm)}"
+        tags += f"\tat:f:{_f(at)}"
+        tags += f"\taq:f:{_f(aq)}"
+    else:
+        tags += "\tcm:i:0\tnc:i:0\ts1:f:0\ts2:f:0\tsm:f:0\tat:f:0\taq:f:0"
+    if alns is not None:
+        tags += f"\talns:f:{_f(alns)}"
+    if aln is not None:
+        tags += f"\taln:s:{aln}"
+    if anchors is not None:
+        tags += f"\tanchors:s:{anchors}"
+    return tags
+
+
+def paf_line(r: MappingResult) -> str:
+    if r.mapped:
+        strand = "-" if r.rev else "+"
+        return (
+            f"{r.read_name}\t{r.read_length}\t{r.read_start_position}"
+            f"\t{r.read_end_position}\t{strand}\t{r.ref_name}\t{r.ref_len}"
+            f"\t{r.fragment_start_position}"
+            f"\t{r.fragment_start_position + r.fragment_length}"
+            f"\t{(r.read_end_position - r.read_start_position - 1) & 0xFFFFFFFF}"
+            f"\t{r.fragment_length}\t{r.mapq}\t{r.tags}"
+        )
+    return f"{r.read_name}\t{r.read_length}\t*\t*\t*\t*\t*\t*\t*\t*\t*\t{r.mapq}\t{r.tags}"
