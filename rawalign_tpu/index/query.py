@@ -1,0 +1,65 @@
+"""Batched seed lookup on device: searchsorted + bounded gather.
+
+Replaces the reference's per-seed khash probe loop (ri_idx_get +
+rmap.cpp:371-391) with two vectorized binary searches over the sorted key
+table and a (B, NE, MAX_OCC) gather. Hits beyond MAX_OCC per seed are
+dropped and counted (the reference has no cap; its disabled occurrence
+filter, rmap.cpp:28-51, played this role).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class HitBatch(NamedTuple):
+    t_id: jax.Array  # (B, NE, MAX_OCC) int32 target sequence id
+    t_pos: jax.Array  # (B, NE, MAX_OCC) int32 target signal position
+    strand: jax.Array  # (B, NE, MAX_OCC) int32 0/1
+    q_pos: jax.Array  # (B, NE, MAX_OCC) int32 query event index
+    valid: jax.Array  # (B, NE, MAX_OCC) bool
+    n_dropped: jax.Array  # (B,) int32 hits lost to the MAX_OCC cap
+
+
+@functools.partial(jax.jit, static_argnames=("max_occ",))
+def query_seeds(
+    keys: jax.Array,  # (S,) uint32 sorted index hashes
+    val_id: jax.Array,  # (S,) uint32
+    val_ps: jax.Array,  # (S,) uint32 pos<<1|strand
+    hashes: jax.Array,  # (B, NE) uint32 query seed hashes
+    qpos: jax.Array,  # (B, NE) int32 query event positions
+    seed_valid: jax.Array,  # (B, NE) bool
+    *,
+    max_occ: int = 16,
+) -> HitBatch:
+    B, NE = hashes.shape
+    flat = hashes.reshape(-1)
+    lo = jnp.searchsorted(keys, flat, side="left").reshape(B, NE)
+    hi = jnp.searchsorted(keys, flat, side="right").reshape(B, NE)
+    count = (hi - lo).astype(jnp.int32)
+    o = jnp.arange(max_occ, dtype=jnp.int32)
+    gidx = lo[..., None].astype(jnp.int32) + o
+    hit_valid = (
+        seed_valid[..., None] & (o[None, None, :] < count[..., None])
+    )
+    gidx = jnp.clip(gidx, 0, max(keys.shape[0] - 1, 0))
+    ids = val_id[gidx].astype(jnp.int32)
+    ps = val_ps[gidx]
+    # target position: low-31 bits of pos field (rmap.cpp:326,387)
+    t_pos = ((ps >> jnp.uint32(1)) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    strand = (ps & jnp.uint32(1)).astype(jnp.int32)
+    dropped = jnp.sum(
+        jnp.where(seed_valid, jnp.maximum(count - max_occ, 0), 0), axis=1
+    )
+    return HitBatch(
+        t_id=ids,
+        t_pos=t_pos,
+        strand=strand,
+        q_pos=jnp.broadcast_to(qpos[..., None], (B, NE, max_occ)),
+        valid=hit_valid,
+        n_dropped=dropped.astype(jnp.int32),
+    )

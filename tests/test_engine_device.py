@@ -1,0 +1,93 @@
+"""Batched device engine vs the golden per-read engine: outcome parity."""
+
+import re
+
+import numpy as np
+import pytest
+
+from rawalign_tpu import config
+from rawalign_tpu.golden import engine as gengine
+from rawalign_tpu.index import index as dindex
+from rawalign_tpu.io import paf
+from rawalign_tpu.map.engine import MappingEngine
+from rawalign_tpu.testing import synth
+
+
+def _strip_time(line: str) -> str:
+    return re.sub(r"mt:f:[0-9.]+", "mt:f:X", line)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = synth.make_dataset(
+        seed=11,
+        genome_lengths=[12_000, 6_000],
+        n_reads=10,
+        read_len_bp=(250, 700),
+        noise_pa=1.3,
+    )
+    io = config.IndexOptions()
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
+    return ds, idx, io
+
+
+@pytest.mark.parametrize("use_dtw", [False, True])
+def test_engine_matches_golden_exactly_with_full_window(setup, use_dtw):
+    """With a chaining window covering all anchors, the device pipeline
+    replicates the reference semantics end to end: PAF lines must match
+    the golden engine's exactly (modulo the timing tag)."""
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    if use_dtw:
+        mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    engine = MappingEngine(idx, mo, batch_size=4, chain_window=2048, max_occ=256)
+    got = {}
+    for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
+        got[res.read_name] = _strip_time(paf.paf_line(res))
+    n_same = 0
+    diffs = []
+    for r in ds.reads:
+        want_res = gengine.map_read(idx, r.signal, r.name, mo)
+        want = _strip_time(paf.paf_line(want_res))
+        if got[r.name] == want:
+            n_same += 1
+        else:
+            diffs.append((r.name, want, got[r.name]))
+            # the only sanctioned divergence is a rare event-detector peak
+            # flip (float32 vs double sqrt); the mapping itself must agree
+            g = got[r.name].split("\t")
+            w = want.split("\t")
+            assert g[4:7] == w[4:7], (r.name, want, got[r.name])  # strand+ref
+            assert abs(int(g[7]) - int(w[7])) <= 50  # ref start
+    # exact PAF equality for the large majority
+    assert n_same >= int(0.8 * len(ds.reads)), (n_same, diffs[:2])
+
+
+def test_engine_accuracy_with_default_window(setup):
+    """Default bounded window (64): outcomes must still be correct."""
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    engine = MappingEngine(idx, mo, batch_size=8)
+    n_correct = 0
+    n_mapped = 0
+    for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
+        read = next(r for r in ds.reads if r.name == res.read_name)
+        if not res.mapped:
+            continue
+        n_mapped += 1
+        ok = (
+            res.ref_name == ds.seqs[read.ref_id].name
+            and res.rev == read.strand
+        )
+        if ok:
+            lo = res.fragment_start_position
+            hi = lo + res.fragment_length
+            ok = not (hi < read.ref_start or lo > read.ref_end)
+        n_correct += bool(ok)
+    assert n_mapped >= 7
+    assert n_correct >= n_mapped - 1
