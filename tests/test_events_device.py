@@ -12,7 +12,6 @@ from rawalign_tpu.testing import synth
 def _chunks(seed=0, n=6, L=4000):
     """Realistic synthetic signal chunks of varying length."""
     rng = np.random.default_rng(seed)
-    model = synth.synthetic_pore_model = None  # not used
     from rawalign_tpu.pore_model import synthetic_pore_model
 
     pm = synthetic_pore_model(k=6, seed=seed)
