@@ -1,0 +1,125 @@
+"""CLI + IO + Sequence Until tests: the full user-facing path."""
+
+import numpy as np
+import pytest
+
+from rawalign_tpu import cli, config
+from rawalign_tpu.io import fast5, fasta
+from rawalign_tpu.pore_model import save_pore_model
+from rawalign_tpu.testing import synth
+from rawalign_tpu.until import SequenceUntil, find_outlier
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    ds = synth.make_dataset(
+        seed=5,
+        genome_lengths=[10_000],
+        n_reads=6,
+        read_len_bp=(250, 600),
+        noise_pa=1.2,
+    )
+    fasta.write_fasta(str(d / "ref.fa"), [(s.name, s.seq) for s in ds.seqs])
+    save_pore_model(str(d / "model.txt"), ds.model)
+    fast5.write_fast5(
+        str(d / "reads.fast5"), [(r.name, r.signal) for r in ds.reads]
+    )
+    return d, ds
+
+
+def test_fast5_roundtrip(workdir):
+    d, ds = workdir
+    back = dict(fast5.read_fast5(str(d / "reads.fast5")))
+    assert set(back) == {r.name for r in ds.reads}
+    sig = back[ds.reads[0].name]
+    orig = ds.reads[0].signal
+    orig = orig[(orig > 30) & (orig < 200)]
+    assert abs(sig.size - orig.size) < 5
+    # DAC quantization error is bounded by half a DAC step
+    m = min(sig.size, orig.size)
+    assert np.max(np.abs(sig[:m] - orig[:m])) < 0.2
+
+
+def test_cli_index_then_map(workdir, capsys):
+    d, ds = workdir
+    rc = cli.main(
+        [
+            "-x", "viral",
+            "-p", str(d / "model.txt"),
+            "-d", str(d / "ref.idx.npz"),
+            str(d / "ref.fa"),
+        ]
+    )
+    assert rc == 0
+    rc = cli.main(
+        [
+            "-x", "viral",
+            "--dtw-evaluate-chains",
+            "--dtw-border-constraint", "sparse",
+            "--dtw-fill-method", "banded=0.10",
+            "--dtw-match-bonus", "0.4",
+            "--dtw-min-score", "20.0",
+            "-o", str(d / "out.paf"),
+            str(d / "ref.idx.npz"),
+            str(d / "reads.fast5"),
+        ]
+    )
+    assert rc == 0
+    lines = (d / "out.paf").read_text().strip().splitlines()
+    assert len(lines) == len(ds.reads)
+    n_mapped = sum(1 for ln in lines if ln.split("\t")[2] != "*")
+    assert n_mapped >= 4
+    for ln in lines:
+        f = ln.split("\t")
+        # 12 standard PAF columns + tag fields (tags are tab-separated)
+        assert len(f) >= 13
+
+
+def test_cli_golden_engine(workdir):
+    d, ds = workdir
+    rc = cli.main(
+        [
+            "-x", "viral",
+            "--engine", "golden",
+            "-o", str(d / "out_golden.paf"),
+            str(d / "ref.idx.npz"),
+            str(d / "reads.fast5"),
+        ]
+    )
+    assert rc == 0
+    assert (d / "out_golden.paf").read_text().strip()
+
+
+def test_cli_errors(workdir, capsys):
+    d, _ = workdir
+    # indexing without pore model
+    rc = cli.main([str(d / "ref.fa")])
+    assert rc == 1
+    # no query and no dump
+    rc = cli.main(["-p", str(d / "model.txt"), str(d / "ref.fa")])
+    assert rc == 1
+
+
+def test_sequence_until_convergence():
+    opt = config.MappingOptions()
+    opt.tmin_reads = 10
+    opt.ttest_freq = 10
+    opt.tn_samples = 3
+    su = SequenceUntil(2, opt)
+    rng = np.random.default_rng(0)
+    stopped_at = None
+    for i in range(200):
+        ref = int(rng.random() < 0.3)
+        if su.add_mapped_read(ref, 500):
+            stopped_at = i
+            break
+    assert stopped_at is not None  # stable abundance converges
+    ab = su.abundance
+    assert 0.5 < ab[0] < 0.9
+
+
+def test_find_outlier():
+    x = np.array([[0.5, 0.5], [0.5, 0.5], [0.9, 0.1]], dtype=np.float32)
+    assert find_outlier(x) == pytest.approx(2 * 0.4**2, abs=1e-6)
+    assert find_outlier(np.zeros((4, 3), np.float32)) == 0.0
