@@ -1,0 +1,156 @@
+"""Benchmark: end-to-end mapping throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": "reads_per_sec", "value": N, "unit": "reads/sec",
+   "vs_baseline": R, ...}
+
+vs_baseline is the ratio of this framework's banded-DTW cell-update
+throughput (the hot kernel, measured on the same tile mix) to the
+reference C implementation (compiled from /root/reference/src/dtw.cpp,
+single core) scaled by 32 — i.e. an estimate of speedup over 32-thread
+CPU RawAlign's alignment stage, the metric BASELINE.md targets
+(>= 10x reads/s vs 32-thread CPU RawAlign). Sub-measurements are
+reported in "details".
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_dataset(n_reads=192, genome_kb=200):
+    from rawalign_tpu import config
+    from rawalign_tpu.index import index as dindex
+    from rawalign_tpu.testing import synth
+
+    ds = synth.make_dataset(
+        seed=7,
+        genome_lengths=[genome_kb * 1000],
+        n_reads=n_reads,
+        read_len_bp=(400, 1200),
+        noise_pa=1.5,
+    )
+    io = config.IndexOptions()
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
+    return ds, idx, io, mo
+
+
+def bench_mapping(ds, idx, mo):
+    from rawalign_tpu.map.engine import MappingEngine
+
+    reads = [(r.name, r.signal) for r in ds.reads]
+    engine = MappingEngine(idx, mo, batch_size=64)
+    # warmup pass compiles every bucket shape
+    warm = reads[: min(64, len(reads))]
+    _ = list(engine.map_reads(warm))
+    t0 = time.perf_counter()
+    results = list(engine.map_reads(reads))
+    dt = time.perf_counter() - t0
+    n_mapped = sum(1 for r in results if r.mapped)
+    return len(reads) / dt, n_mapped / len(reads), dt
+
+
+def _tile_mix(rng, n_tiles=2048):
+    pairs = []
+    for _ in range(n_tiles):
+        al = int(rng.integers(8, 96))
+        bl = max(1, int(al * rng.uniform(0.7, 1.4)))
+        a = rng.normal(0, 1, al).astype(np.float32)
+        b = rng.normal(0, 1, bl).astype(np.float32)
+        pairs.append((a, b, max(1, int(al * 0.10)), True))
+    return pairs
+
+
+def bench_dtw_device(pairs, iters=10):
+    from rawalign_tpu.map import tiles
+
+    batch = tiles.prepare_tiles(pairs)
+    cells = int(
+        np.sum(
+            batch.a_len.astype(np.int64)
+            * np.minimum(
+                2 * batch.radius.astype(np.int64) + 1,
+                batch.b_len.astype(np.int64),
+            )
+        )
+    )
+    tiles.dtw_banded(batch)  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = tiles.dtw_banded(batch)
+    dt = (time.perf_counter() - t0) / iters
+    return cells / dt, out
+
+
+def bench_dtw_reference_cpu(pairs, budget_s=6.0):
+    """Single-core reference DTW on the same tiles via the oracle lib."""
+    try:
+        from rawalign_tpu.testing import dtw_oracle
+
+        if dtw_oracle.load_oracle() is None:
+            return None
+    except Exception:
+        return None
+    from rawalign_tpu.testing import dtw_oracle
+
+    cells = 0
+    t0 = time.perf_counter()
+    done = 0
+    for a, b, r, excl in pairs:
+        dtw_oracle.dtw_global_slantedbanded_antidiagonalwise(a, b, r, excl)
+        n, m = max(a.size, b.size), min(a.size, b.size)
+        cells += n * min(2 * r + 1, m)
+        done += 1
+        if time.perf_counter() - t0 > budget_s:
+            break
+    dt = time.perf_counter() - t0
+    return cells / dt
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    ds, idx, io, mo = build_dataset()
+    reads_per_sec, mapped_frac, map_dt = bench_mapping(ds, idx, mo)
+
+    rng = np.random.default_rng(0)
+    pairs = _tile_mix(rng)
+    dev_cups, _ = bench_dtw_device(pairs)
+    ref_cups = bench_dtw_reference_cpu(pairs)
+    if ref_cups:
+        vs_baseline = dev_cups / (32.0 * ref_cups)
+    else:
+        vs_baseline = 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "reads_per_sec",
+                "value": round(reads_per_sec, 2),
+                "unit": "reads/sec",
+                "vs_baseline": round(vs_baseline, 3),
+                "details": {
+                    "backend": backend,
+                    "mapped_frac": round(mapped_frac, 3),
+                    "mapping_wall_s": round(map_dt, 2),
+                    "dtw_device_cells_per_sec": int(dev_cups),
+                    "dtw_reference_c_1core_cells_per_sec": (
+                        int(ref_cups) if ref_cups else None
+                    ),
+                    "baseline_definition": (
+                        "banded-DTW cell-updates/s vs reference dtw.cpp "
+                        "single-core x32 (proxy for 32-thread CPU RawAlign)"
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

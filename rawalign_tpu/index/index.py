@@ -141,12 +141,17 @@ def build_index(
     """Host-side index build (replaces ri_idx_gen + ri_idx_post,
     rawindex.cpp:99-250): per sequence, expected-signal conversion on both
     strands + sketching, then one global lexsort."""
+    from rawalign_tpu import native
+
+    use_native = native.available()
     names: list[str] = []
     lens: list[int] = []
     sig_lens: list[int] = []
     sigs1: list[np.ndarray] = []
     sigs0: list[np.ndarray] = []
-    seed_blocks: list[np.ndarray] = []
+    key_blocks: list[np.ndarray] = []
+    id_blocks: list[np.ndarray] = []
+    ps_blocks: list[np.ndarray] = []
     for rid, s in enumerate(seqs):
         names.append(s.name)
         lens.append(len(s.seq))
@@ -157,22 +162,40 @@ def build_index(
         sigs0.append(sig0)
         sig_lens.append(sig1.size)
         for strand, sig in ((1, sig1), (0, sig0)):
-            if sig.size:
-                seed_blocks.append(
-                    gsketch.sketch(
-                        sig, rid, strand, opt.w, opt.e, opt.n, opt.q, opt.lq, opt.k
-                    )
+            if not sig.size:
+                continue
+            if use_native:
+                if opt.w:
+                    h, p = native.sketch_min(sig, opt.w, opt.e, opt.q, opt.lq)
+                else:
+                    h, p = native.sketch_reg(sig, opt.e, opt.q, opt.lq)
+            else:
+                seeds = gsketch.sketch(
+                    sig, rid, strand, opt.w, opt.e, opt.n, opt.q, opt.lq, opt.k
                 )
-    seeds = (
-        np.concatenate(seed_blocks, axis=0)
-        if seed_blocks
-        else np.zeros((0, 2), dtype=np.uint64)
-    )
-    hashes = (seeds[:, 0] >> np.uint64(gsketch.RI_HASH_SHIFT)).astype(np.uint32)
-    ys = seeds[:, 1]
-    order = np.lexsort((ys, hashes))
-    hashes = hashes[order]
-    ys = ys[order]
+                h = (seeds[:, 0] >> np.uint64(gsketch.RI_HASH_SHIFT)).astype(
+                    np.uint32
+                )
+                p = (
+                    (seeds[:, 1] & np.uint64(0xFFFFFFFF))
+                    >> np.uint64(gsketch.RI_POS_SHIFT)
+                ).astype(np.int64)
+            key_blocks.append(h.astype(np.uint32))
+            id_blocks.append(np.full(h.size, rid, dtype=np.uint32))
+            ps_blocks.append(
+                ((p.astype(np.uint32) << np.uint32(1)) | np.uint32(strand))
+            )
+    if key_blocks:
+        keys = np.concatenate(key_blocks)
+        ids = np.concatenate(id_blocks)
+        ps = np.concatenate(ps_blocks)
+    else:
+        keys = np.zeros(0, np.uint32)
+        ids = np.zeros(0, np.uint32)
+        ps = np.zeros(0, np.uint32)
+    # sort by (hash, id, pos<<1|strand) == the reference's per-hash
+    # position order (rawindex.cpp:233)
+    order = np.lexsort((ps, ids, keys))
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum(sig_lens, out=offsets[1:])
     return RawIndex(
@@ -187,7 +210,7 @@ def build_index(
         signals_s0=(
             np.concatenate(sigs0) if sigs0 else np.zeros(0, np.float32)
         ),
-        keys=hashes,
-        val_id=(ys >> np.uint64(32)).astype(np.uint32),
-        val_ps=(ys & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        keys=keys[order],
+        val_id=ids[order],
+        val_ps=ps[order],
     )

@@ -1,0 +1,94 @@
+"""ctypes bindings for the native host library (native/rawalign_host.cpp).
+
+Builds the library on first use if a compiler is available; every entry
+point has a pure-Python fallback (the golden model), so the framework
+works without a toolchain — just slower on host-side index builds.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SO = os.path.join(_NATIVE_DIR, "librawalign_host.so")
+
+
+@functools.lru_cache(maxsize=1)
+def load() -> ctypes.CDLL | None:
+    if not os.path.exists(_SO):
+        src = os.path.join(_NATIVE_DIR, "rawalign_host.cpp")
+        if not os.path.exists(src):
+            return None
+        try:
+            subprocess.run(
+                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    f32 = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u32 = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.ra_sketch_reg.restype = ctypes.c_int64
+    lib.ra_sketch_reg.argtypes = [
+        f32, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        u32, i64p,
+    ]
+    lib.ra_sketch_min.restype = ctypes.c_int64
+    lib.ra_sketch_min.argtypes = [
+        f32, ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, u32, i64p,
+    ]
+    lib.ra_gen_peaks.restype = ctypes.c_int64
+    lib.ra_gen_peaks.argtypes = [
+        f32, f32, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, u32,
+    ]
+    return lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def sketch_reg(values: np.ndarray, e: int, q: int, lq: int):
+    """(hashes uint32, positions int64) of plain-mode seeds."""
+    lib = load()
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    n = values.size
+    out_h = np.empty(max(n, 1), dtype=np.uint32)
+    out_p = np.empty(max(n, 1), dtype=np.int64)
+    cnt = lib.ra_sketch_reg(values, n, e, q, lq, out_h, out_p)
+    return out_h[:cnt].copy(), out_p[:cnt].copy()
+
+
+def sketch_min(values: np.ndarray, w: int, e: int, q: int, lq: int):
+    lib = load()
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    n = values.size
+    out_h = np.empty(max(n, 1), dtype=np.uint32)
+    out_p = np.empty(max(n, 1), dtype=np.int64)
+    cnt = lib.ra_sketch_min(values, n, w, e, q, lq, out_h, out_p)
+    return out_h[:cnt].copy(), out_p[:cnt].copy()
+
+
+def gen_peaks(
+    t1: np.ndarray, t2: np.ndarray, s_len: int,
+    threshold1: float, threshold2: float, w1: int, w2: int, peak_height: float,
+) -> np.ndarray:
+    lib = load()
+    t1 = np.ascontiguousarray(t1[:s_len], dtype=np.float32)
+    t2 = np.ascontiguousarray(t2[:s_len], dtype=np.float32)
+    out = np.empty(max(s_len, 1), dtype=np.uint32)
+    cnt = lib.ra_gen_peaks(
+        t1, t2, s_len, threshold1, threshold2, w1, w2, peak_height, out
+    )
+    return out[:cnt].copy()
