@@ -4,30 +4,28 @@ Computes the reference's production alignment kernel
 ``DTW_global_slantedbanded_antidiagonalwise`` (dtw.cpp:273-520) for a
 BATCH of (a, b) tile pairs at once — the sparse border constraint
 (rmap.cpp:238-300) decomposes every chain into many small independent DTW
-tiles, which forms the batch axis; tiles from all chains of all reads in
-a mapping step are evaluated in one call.
+tiles, which forms the batch axis.
 
-Kernel structure (one lax.scan step == one reference iteration ``it``):
+TPU mapping. General gathers are pathologically slow on TPU (they run on
+the scalar unit), so the kernel contains none:
 
-* two carried band buffers (the previous two anti-diagonals), vectorized
-  over the band axis (width R+1, padded to a static bucket width) and the
-  tile axis;
-* per-tile slope state: integer center-row tracking cr(it) (the
-  reference's ``next_row*n <= m*it`` stepping, dtw.cpp:350-359) and the
-  previous-step increment flag;
-* when the center row steps down, a SECONDARY anti-diagonal is evaluated
-  first, then the PRIMARY one — both with the reference's exact neighbor
-  availability rules (dtw.cpp:361-491); out-of-range band slots hold INF
-  (=1e10), which the golden-model equivalence tests proved reproduces the
-  C buffers' semantics exactly;
-* cells read a/b values through dynamic slices along the anti-diagonal.
+* the anti-diagonal values of ``a`` become STATIC slices of a host
+  pre-shifted copy A2 (per-tile band offsets are absorbed into A2's
+  layout by the host tile builder, rawalign_tpu.map.tiles);
+* the anti-diagonal values of ``b`` depend on the per-tile band center
+  cr(it) = floor(it*m/n) (the reference's integer slope stepping,
+  dtw.cpp:350-359, in closed form) and are extracted with a ONE-HOT
+  MATMUL on the MXU: bv = einsum('tnj,tjo->tno', [j == cr(it)], B_shift)
+  — "gather as matmul";
+* the recurrence scan is pure elementwise min/add/select on (T, dpw)
+  blocks with the per-iteration cost diagonals dynamic-sliced from the
+  precomputed tensors.
 
 Scores match the reference bit-for-bit (same operand triples per cell,
-float32 min/add).
-
-Band radii vary per tile (max(1, read_len*frac), rmap.cpp:276); callers
-bucket tiles by (band width, length) and invoke one jit specialization
-per bucket (see DtwTileBatcher in rawalign_tpu.map.tiles).
+float32 min/add; the one-hot matmul reproduces exact float32 values since
+one operand is exactly 0/1). Out-of-band slots hold INF (=1e10), which
+the oracle-validated golden model proved reproduces the C buffer
+semantics.
 """
 
 from __future__ import annotations
@@ -36,193 +34,216 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 INF = jnp.float32(1e10)
 
 
-def _widened_radius(n, m, r):
-    """r + ceil((n-m)*r/n) (dtw.cpp:294-300); n >= m."""
-    return r + ((n - m) * r + n - 1) // n
-
-
 @functools.partial(jax.jit, static_argnames=("dpw", "max_n"))
 def dtw_banded_batch(
-    a: jax.Array,  # (T, LA) float32, longer sequence per tile, padded
-    a_len: jax.Array,  # (T,) int32
-    b: jax.Array,  # (T, LB) float32, shorter sequence per tile, padded
+    a2: jax.Array,  # (T, max_n + dpw) host-pre-shifted longer sequence
+    b2: jax.Array,  # (T, LB2) host-pre-shifted shorter sequence
+    a_len: jax.Array,  # (T,) int32 (true lengths)
     b_len: jax.Array,  # (T,) int32
     radius: jax.Array,  # (T,) int32 UNwidened band radius (>=1)
     exclude_last: jax.Array,  # (T,) bool
+    a_last: jax.Array,  # (T,) float32 a[n-1] (for exclude_last)
+    b_last: jax.Array,  # (T,) float32 b[m-1]
+    d00: jax.Array,  # (T,) float32 |a[0]-b[0]|
     *,
-    dpw: int,  # static band buffer width; must be >= max widened R+1
+    dpw: int,  # static band buffer width; must be >= max widened R+2
     max_n: int,  # static scan length; must be >= max a_len
 ) -> jax.Array:
     """Returns (T,) float32 DTW costs. Tiles must satisfy a_len >= b_len
-    (callers swap, as the reference does, dtw.cpp:283-292)."""
-    T = a.shape[0]
+    (callers swap, as the reference does, dtw.cpp:283-292).
+
+    Host layout contract (see tiles.prepare_tiles):
+      A2[t, x] = a[t, x - (dpw-1) + half_lp[t]]   (zeros out of range)
+      B2[t, x] = b[t, x - half_lp[t] - 1]         (zeros out of range)
+    so av_p[t, it, o] = a[t, it + half_lp - o] = A2[t, it + dpw-1 - o]
+    and bv_base[t, it, o] = B2[t, cr + o] = b[t, cr - half_lp - 1 + o],
+    from which the primary diagonal reads bv_base at o+1 and the
+    secondary (odd R) at o.
+    """
+    T = a2.shape[0]
     n = a_len.astype(jnp.int32)
     m = b_len.astype(jnp.int32)
     r0 = radius.astype(jnp.int32)
-    R = r0 + ((n - m) * r0 + n - 1) // n
+    R = r0 + ((n - m) * r0 + n - 1) // n  # slope widening (dtw.cpp:294-300)
     lp = R + jnp.where(R % 2 == 0, 1, 0)
     ls = R + jnp.where(R % 2 == 1, 1, 0)
-    primary_larger = lp > ls  # == (R even)
+    primary_larger = (lp > ls)[:, None]  # (T, 1); True iff R even
     half_lp = lp // 2
     half_ls = ls // 2
 
-    o_idx = jnp.arange(dpw, dtype=jnp.int32)[None, :]  # (1, dpw)
+    its = jnp.arange(max_n, dtype=jnp.int32)
+    o_idx = jnp.arange(dpw, dtype=jnp.int32)
 
-    def diag_values(start_i, start_j):
-        """Gather a[start_i - o], b[start_j + o] for o in [0, dpw)."""
-        # a indices descend from start_i; b ascend from start_j
-        ai = start_i[:, None] - o_idx
-        bj = start_j[:, None] + o_idx
-        av = jnp.take_along_axis(a, jnp.clip(ai, 0, a.shape[1] - 1), axis=1)
-        bv = jnp.take_along_axis(b, jnp.clip(bj, 0, b.shape[1] - 1), axis=1)
-        return jnp.abs(av - bv)
+    # closed-form band center per iteration: cr(it) = floor(it*m/n)
+    cr = (its[None, :] * m[:, None]) // jnp.maximum(n, 1)[:, None]  # (T, N)
+    cr_prev = jnp.concatenate([jnp.zeros((T, 1), jnp.int32), cr[:, :-1]], 1)
+    inc = (cr > cr_prev) & (its[None, :] >= 1)  # (T, N)
+
+    # ---- a-diagonals: static slices of A2
+    # av_p[:, :, o] = A2[:, dpw-1-o : dpw-1-o+max_n]
+    av_p = jnp.stack(
+        [a2[:, dpw - 1 - o : dpw - 1 - o + max_n] for o in range(dpw)],
+        axis=2,
+    )  # (T, N, dpw)
+    # secondary a-index shift: (half_ls - half_lp - 1) in {-1 (R even), 0}
+    av_p_roll = jnp.concatenate(
+        [av_p[:, :, 1:], jnp.zeros((T, max_n, 1), av_p.dtype)], axis=2
+    )  # o -> o+1 == index shift -1
+    av_s = jnp.where(primary_larger[:, :, None], av_p_roll, av_p)
+
+    # ---- b-diagonals: one-hot matmul over the cr axis
+    LB2 = b2.shape[1]
+    j_idx = jnp.arange(LB2, dtype=jnp.int32)
+    onehot = (cr[:, :, None] == j_idx[None, None, :]).astype(jnp.float32)
+    b_shift = jnp.stack(
+        [
+            jnp.concatenate(
+                [b2[:, o:], jnp.zeros((T, o), b2.dtype)], axis=1
+            )
+            for o in range(dpw)
+        ],
+        axis=2,
+    )  # (T, LB2, dpw): b_shift[t, j, o] = B2[t, j+o]
+    bv_base = jax.lax.dot_general(
+        onehot,
+        b_shift,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (T, N, dpw) = B2[t, cr+o] = b[t, cr - half_lp - 1 + o]
+    # primary needs b[t, cr - half_lp + o] = bv_base at o+1
+    bv_p = jnp.concatenate(
+        [bv_base[:, :, 1:], jnp.zeros((T, max_n, 1), bv_base.dtype)], axis=2
+    )
+    # secondary: b[t, cr - half_ls + o]; half_ls - half_lp is 0 for even R
+    # (-> bv_p) and +1 for odd R (-> bv_base)
+    bv_s = jnp.where(primary_larger[:, :, None], bv_p, bv_base)
+
+    # ---- in-range masks (closed form)
+    def ranges(start_i, start_j, length):
+        o0 = jnp.maximum(jnp.maximum(0, start_i - n[:, None] + 1), -start_j)
+        o1 = jnp.minimum(jnp.minimum(length, start_i + 1), m[:, None] - start_j)
+        return (o_idx[None, None, :] >= o0[:, :, None]) & (
+            o_idx[None, None, :] < o1[:, :, None]
+        )
+
+    s_i = its[None, :] + half_ls[:, None] - 1
+    s_j = cr - half_ls[:, None]
+    range_s = ranges(s_i, s_j, ls[:, None])
+    p_i = its[None, :] + half_lp[:, None]
+    p_j = cr - half_lp[:, None]
+    range_p = ranges(p_i, p_j, lp[:, None])
+
+    cost_s = jnp.abs(av_s - bv_s)
+    cost_p = jnp.abs(av_p - bv_p)
+
+    # pre-shift primary cost/range for the secondary-larger write-at-o+1
+    # case ("+1 simplification", dtw.cpp:455-485): slot s holds o = s-1
+    cost_p_s1 = jnp.concatenate(
+        [jnp.zeros((T, max_n, 1), jnp.float32), cost_p[:, :, :-1]], axis=2
+    )
+    range_p_s1 = jnp.concatenate(
+        [jnp.zeros((T, max_n, 1), bool), range_p[:, :, :-1]], axis=2
+    )
+    c_p_eff = jnp.where(primary_larger[:, None, :], cost_p, cost_p_s1)
+    r_p_eff = jnp.where(primary_larger[:, None, :], range_p, range_p_s1)
+
+    is_first = (o_idx == 0)[None, :]
+    is_first_s1 = (o_idx == 1)[None, :]
+    is_last_s = o_idx[None, :] == (ls - 1)[:, None]
+    is_last_p = o_idx[None, :] == (lp - 1)[:, None]
+    active_t = its[None, :] < n[:, None]
 
     def shift_left(x):
-        """y[o] = x[o+1], INF shifted in at the end."""
         return jnp.concatenate([x[:, 1:], jnp.full((T, 1), INF)], axis=1)
 
     def shift_right(x):
-        """y[o] = x[o-1], INF shifted in at the front."""
         return jnp.concatenate([jnp.full((T, 1), INF), x[:, :-1]], axis=1)
 
-    def compute_diag(cost, top, left, topleft, o0, o1):
-        cell = jnp.minimum(jnp.minimum(top, left), topleft) + cost
-        in_range = (o_idx >= o0[:, None]) & (o_idx < o1[:, None])
-        return jnp.where(in_range, cell, INF)
-
-    # iteration 0: only cell (0,0) at slot half_lp (+1 if secondary larger)
-    # (dtw.cpp:317-347)
-    slot0 = jnp.where(primary_larger, half_lp, half_lp + 1)
-    d00 = jnp.abs(a[:, 0] - b[:, 0])
-    dp1_init = jnp.full((T, dpw), INF).at[jnp.arange(T), slot0].set(
-        jnp.where((n > 0) & (m > 0), d00, INF)
+    slot0 = jnp.where(primary_larger[:, 0], half_lp, half_lp + 1)
+    slot0_onehot = o_idx[None, :] == slot0[:, None]
+    dp1_init = jnp.where(
+        slot0_onehot & ((n > 0) & (m > 0))[:, None], d00[:, None], INF
     )
     dp0_init = jnp.full((T, dpw), INF)
 
-    def step(carry, it):
-        dp0, dp1, cr, prev_inc, result = carry
-        active = it < n
-        inc = ((cr + 1) * n <= m * it) & active
-        cr_new = jnp.where(inc, cr + 1, cr)
+    # Materialize the cost diagonals BEFORE the scan so XLA cannot fuse
+    # their computation into the loop body.
+    cost_s, c_p_eff, range_s, r_p_eff = jax.lax.optimization_barrier(
+        (cost_s, c_p_eff, range_s, r_p_eff)
+    )
 
-        # ---- secondary anti-diagonal (only when stepping down)
-        s_i = it + half_ls - 1
-        s_j = cr_new - half_ls
-        s_o0 = jnp.maximum(jnp.maximum(0, s_i - n + 1), -s_j)
-        s_o1 = jnp.minimum(jnp.minimum(ls, s_i + 1), m - s_j)
-        s_cost = diag_values(s_i, s_j)
-        is_first = o_idx == 0
-        is_last_s = o_idx == (ls - 1)[:, None]
-        # primary_larger: top=dp1[o], topleft=dp0[o], left=dp1[o+1]
-        # else:          top=first?INF:dp1[o],
-        #                topleft=(first&!prev_inc)?INF:dp0[o],
-        #                left=last?INF:dp1[o+1]   (dtw.cpp:367-408)
-        pl = primary_larger[:, None]
+    def slice_it(x, it):
+        return jax.lax.dynamic_slice_in_dim(x, it, 1, axis=1)[:, 0, :]
+
+    def step(carry, xs):
+        dp0, dp1, prev_inc, result = carry
+        it, incv, activev, last_it = xs
+        c_s = slice_it(cost_s, it)
+        r_s = slice_it(range_s, it)
+        c_p = slice_it(c_p_eff, it)
+        r_p = slice_it(r_p_eff, it)
+        incb = incv[:, None] & activev[:, None]
+        previncb = prev_inc[:, None]
+        pl = primary_larger
+
+        # ---- secondary anti-diagonal (dtw.cpp:361-414)
         sec_top = jnp.where(pl | ~is_first, dp1, INF)
-        sec_topleft = jnp.where(
-            pl | ~(is_first & ~prev_inc[:, None]), dp0, INF
-        )
+        sec_topleft = jnp.where(pl | ~(is_first & ~previncb), dp0, INF)
         dp1_l = shift_left(dp1)
         sec_left = jnp.where(pl | ~is_last_s, dp1_l, INF)
-        sec = compute_diag(s_cost, sec_top, sec_left, sec_topleft, s_o0, s_o1)
+        sec = jnp.minimum(jnp.minimum(sec_top, sec_left), sec_topleft) + c_s
+        sec = jnp.where(r_s, sec, INF)
 
-        # effective previous buffers for the primary diagonal
-        eff_dp0 = jnp.where(inc[:, None], dp1, dp0)
-        eff_dp1 = jnp.where(inc[:, None], sec, dp1)
+        eff_dp0 = jnp.where(incb, dp1, dp0)
+        eff_dp1 = jnp.where(incb, sec, dp1)
 
-        # ---- primary anti-diagonal
-        p_i = it + half_lp
-        p_j = cr_new - half_lp
-        p_o0 = jnp.maximum(jnp.maximum(0, p_i - n + 1), -p_j)
-        p_o1 = jnp.minimum(jnp.minimum(lp, p_i + 1), m - p_j)
-        p_cost = diag_values(p_i, p_j)
-        is_last_p = o_idx == (lp - 1)[:, None]
-        incb = inc[:, None]
-        previncb = prev_inc[:, None]
-
-        eff_dp1_r = shift_right(eff_dp1)  # dp1[o-1]
-        eff_dp1_l = shift_left(eff_dp1)  # dp1[o+1]
-        eff_dp0_r = shift_right(eff_dp0)  # dp0[o-1]
-        eff_dp0_l = shift_left(eff_dp0)  # dp0[o+1]
-
-        # primary_larger cases (dtw.cpp:422-453): writes at slot o
+        # ---- primary anti-diagonal (dtw.cpp:416-491)
+        eff_dp1_r = shift_right(eff_dp1)
+        eff_dp0_r = shift_right(eff_dp0)
         pl_top = jnp.where(is_first, INF, eff_dp1_r)
         pl_topleft = jnp.where(
             incb, eff_dp0, jnp.where(is_first, INF, eff_dp0_r)
         )
-        pl_left = jnp.where(incb, jnp.where(is_last_p, INF, eff_dp1), eff_dp1)
-        pri_pl = compute_diag(p_cost, pl_top, pl_left, pl_topleft, p_o0, p_o1)
-
-        # !primary_larger cases (dtw.cpp:455-485): writes at slot o+1,
-        # reads dp0/dp1 at o+1-based positions ("+1 simplification"):
-        # inc:  top=dp1[o], topleft=dp0[o+1], left=dp1[o+1]
-        # !inc: top=first?INF:dp1[o], topleft=(first&!previnc)?INF:dp0[o],
-        #       left=dp1[o+1]
-        # Writing at slot s=o+1 means: read index o = s-1.
+        pl_left = jnp.where(incb & is_last_p, INF, eff_dp1)
         sp_top = jnp.where(
-            incb,
-            eff_dp1_r,  # dp1[o] at slot o+1 == dp1 shifted right
-            jnp.where(is_first_slotted(o_idx), INF, eff_dp1_r),
+            incb, eff_dp1_r, jnp.where(is_first_s1, INF, eff_dp1_r)
         )
         sp_topleft = jnp.where(
-            incb,
-            eff_dp0,  # dp0[o+1] at slot o+1 == dp0[s]
-            jnp.where(
-                is_first_slotted(o_idx) & ~previncb, INF, eff_dp0_r
-            ),
+            incb, eff_dp0, jnp.where(is_first_s1 & ~previncb, INF, eff_dp0_r)
         )
-        sp_left = eff_dp1  # dp1[o+1] at slot o+1 == dp1[s]
-        # range in slot space: [o0+1, o1+1)
-        pri_sp = compute_diag(
-            p_cost_shift_right(p_cost), sp_top, sp_left, sp_topleft,
-            p_o0 + 1, p_o1 + 1,
-        )
+        sp_left = eff_dp1
+        top = jnp.where(pl, pl_top, sp_top)
+        topleft = jnp.where(pl, pl_topleft, sp_topleft)
+        left = jnp.where(pl, pl_left, sp_left)
+        pri = jnp.minimum(jnp.minimum(top, left), topleft) + c_p
+        pri = jnp.where(r_p, pri, INF)
 
-        pri = jnp.where(pl, pri_pl, pri_sp)
+        act = activev[:, None]
+        new_dp0 = jnp.where(act, eff_dp1, dp0)
+        new_dp1 = jnp.where(act, pri, dp1)
 
-        new_dp0 = jnp.where(active[:, None], eff_dp1, dp0)
-        new_dp1 = jnp.where(active[:, None], pri, dp1)
-
-        # record result at the last iteration of each tile
-        res_slot = jnp.where(primary_larger, half_lp, half_lp + 1)
-        tile_res = new_dp1[jnp.arange(T), res_slot]
-        result = jnp.where(it == n - 1, tile_res, result)
+        tile_res = jnp.min(jnp.where(slot0_onehot, new_dp1, INF), axis=1)
+        result = jnp.where(last_it, tile_res, result)
         return (
             new_dp0,
             new_dp1,
-            cr_new,
-            jnp.where(active, inc, prev_inc),
+            jnp.where(activev, incv, prev_inc),
             result,
         ), None
 
-    def is_first_slotted(o_slots):
-        # slot s corresponds to o = s-1; o==0 <=> s==1
-        return o_slots == 1
-
-    def p_cost_shift_right(c):
-        return jnp.concatenate([jnp.full((T, 1), INF), c[:, :-1]], axis=1)
-
-    # result for 1x1 tiles (n==1): handled by init (dp1_init holds d00 and
-    # the scan never runs iteration >= 1 for them)
-    init_result = dp1_init[jnp.arange(T), slot0]
-    carry0 = (
-        dp0_init,
-        dp1_init,
-        jnp.zeros(T, jnp.int32),
-        jnp.zeros(T, jnp.bool_),
-        init_result,
+    xs = (
+        its[1:],
+        inc.T[1:],
+        active_t.T[1:],
+        its[1:][:, None] == (n - 1)[None, :],
     )
-    (dp0, dp1, cr, prev_inc, result), _ = jax.lax.scan(
-        step, carry0, jnp.arange(1, max_n, dtype=jnp.int32)
-    )
+    init_result = jnp.min(jnp.where(slot0_onehot, dp1_init, INF), axis=1)
+    carry0 = (dp0_init, dp1_init, jnp.zeros(T, jnp.bool_), init_result)
+    (dp0, dp1, prev_inc, result), _ = jax.lax.scan(step, carry0, xs)
 
-    last = jnp.abs(
-        a[jnp.arange(T), jnp.maximum(n - 1, 0)]
-        - b[jnp.arange(T), jnp.maximum(m - 1, 0)]
-    )
+    last = jnp.abs(a_last - b_last)
     return jnp.where(exclude_last, result - last, result)

@@ -4,10 +4,11 @@ Replaces the reference's pthread pipeline + per-read chunk loop
 (rmap.cpp:667-1052) with continuous batching over fixed-shape device
 steps:
 
-  round loop (host):                        device (one jitted stage each):
-    gather next 1s-chunk of every live read   stage 1: events + seeds + index hits
-    merge carried chain anchors, sort         stage 2: chaining DP
-    traceback + candidates (host, cheap)      stage 3: batched banded DTW tiles
+  round loop (host):                        device (jitted):
+    gather next 1s-chunk of every live read   stage A: events + seeds + index
+    upload carried chain anchors                       hits + anchor sort +
+    <- ONE fetch: anchors/scores/preds                 chaining DP (one jit)
+    traceback + candidates (host, cheap)      stage B: batched banded DTW
     B&B replay, primary chains, MAPQ,
     early-stop decisions; retire finished
     reads and refill slots from the queue
@@ -15,6 +16,10 @@ steps:
 Reads finish at different chunks; the engine retires them by mask and
 keeps the batch full (continuous batching) — the TPU-idiomatic analog of
 the reference's per-read early exit (rmap.cpp:685-693).
+
+The device link in this environment costs ~60 ms per host<->device
+round trip, so the engine performs exactly two syncs per chunk round
+(chaining results, DTW costs), independent of batch size.
 """
 
 from __future__ import annotations
@@ -28,7 +33,6 @@ import numpy as np
 
 from rawalign_tpu.config import MappingFlag, MappingOptions
 from rawalign_tpu.golden import chain as gchain
-from rawalign_tpu.golden import dtw as gdtw
 from rawalign_tpu.golden import engine as gengine
 from rawalign_tpu.index.index import RawIndex
 from rawalign_tpu.index import query as dquery
@@ -76,16 +80,21 @@ class MappingEngine:
         index: RawIndex,
         opt: MappingOptions,
         *,
-        batch_size: int = 32,
+        batch_size: int = 64,
         max_occ: int = 64,
         max_anchors: int = 4096,
+        max_carried: int = 1024,
         chain_window: int = 64,
     ):
+        from rawalign_tpu import runtime
+
+        runtime.enable_compilation_cache()
         self.index = index
         self.opt = opt
         self.batch_size = batch_size
         self.max_occ = max_occ
         self.max_anchors = max_anchors
+        self.max_carried = max_carried
         self.chain_window = chain_window
         self._keys = jnp.asarray(index.keys)
         self._val_id = jnp.asarray(index.val_id)
@@ -93,9 +102,15 @@ class MappingEngine:
         self._signals = index.signals  # host {strand: [per-seq float32]}
         io = index.opt
         ne = opt.max_events_per_chunk
+        SENT = np.int32(0x7FFFFFFF)
+        self._SENT = SENT
 
         @jax.jit
-        def _stage1(keys, val_id, val_ps, chunks, lengths):
+        def _stage_chain(
+            keys, val_id, val_ps, chunks, lengths, offsets,
+            prev_seg, prev_tgt, prev_qry,
+        ):
+            B = chunks.shape[0]
             ev = devents.detect_events_batch(
                 chunks,
                 lengths,
@@ -110,31 +125,60 @@ class MappingEngine:
                 ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
             )
             hits = dquery.query_seeds(
-                keys,
-                val_id,
-                val_ps,
-                seeds.hashes,
-                seeds.qpos,
-                seeds.valid,
+                keys, val_id, val_ps,
+                seeds.hashes, seeds.qpos, seeds.valid,
                 max_occ=max_occ,
             )
-            return ev, hits
-
-        self._stage1 = lambda chunks, lengths: _stage1(
-            self._keys, self._val_id, self._val_ps, chunks, lengths
-        )
-        self._chain_dp = jax.jit(
-            lambda seg, tgt, qry, n: dchain.chain_dp_batch(
+            # reads below min_events skip chaining this round
+            # (rmap.cpp:569-572)
+            do_chain = ev.n_events >= opt.min_events
+            H = hits.t_id.shape[1] * hits.t_id.shape[2]
+            seg = (hits.t_id * 2 + hits.strand).reshape(B, H)
+            valid = hits.valid.reshape(B, H) & do_chain[:, None]
+            seg = jnp.where(valid, seg, SENT)
+            tgt = hits.t_pos.reshape(B, H)
+            qry = hits.q_pos.reshape(B, H) + offsets[:, None]
+            # merge carried anchors (previous chunks' surviving chains,
+            # rmap.cpp:343-362)
+            pvalid = (prev_seg != SENT) & do_chain[:, None]
+            seg = jnp.concatenate(
+                [seg, jnp.where(pvalid, prev_seg, SENT)], axis=1
+            )
+            tgt = jnp.concatenate([tgt, prev_tgt], axis=1)
+            qry = jnp.concatenate([qry, prev_qry], axis=1)
+            order = jnp.lexsort((qry, tgt, seg), axis=-1)
+            seg = jnp.take_along_axis(seg, order, axis=1)[:, :max_anchors]
+            tgt = jnp.take_along_axis(tgt, order, axis=1)[:, :max_anchors]
+            qry = jnp.take_along_axis(qry, order, axis=1)[:, :max_anchors]
+            n_total = jnp.sum(valid, axis=1) + jnp.sum(pvalid, axis=1)
+            n_anchors = jnp.minimum(n_total, max_anchors).astype(jnp.int32)
+            dp = dchain.chain_dp_batch(
                 seg,
                 tgt,
                 qry,
-                n,
+                n_anchors,
                 window=chain_window,
                 e=io.e,
                 max_gap=opt.max_gap_length,
                 max_target_gap=opt.max_target_gap_length,
                 max_skips=opt.max_num_skips,
             )
+            return (
+                ev.values,
+                ev.n_events,
+                ev.n_dropped,
+                hits.n_dropped,
+                (n_total - n_anchors).astype(jnp.int32),
+                seg,
+                tgt,
+                qry,
+                n_anchors,
+                dp.scores,
+                dp.preds,
+            )
+
+        self._stage_chain = lambda *args: _stage_chain(
+            self._keys, self._val_id, self._val_ps, *args
         )
         self.counters = {
             "seed_hits_dropped": 0,
@@ -156,7 +200,6 @@ class MappingEngine:
         finished: list[_ReadState] = []
         exhausted = False
         while True:
-            # refill
             while not exhausted and len(slots) < self.batch_size:
                 try:
                     name, sig = next(it)
@@ -186,105 +229,68 @@ class MappingEngine:
     # ------------------------------------------------------------------
     def _round(self, slots: list[_ReadState]) -> None:
         opt = self.opt
-        B = len(slots)
+        # pad to the fixed batch size so every round reuses one compile
+        B = self.batch_size
         L = opt.chunk_size
+        SENT = self._SENT
+        MC = self.max_carried
         chunks = np.zeros((B, L), dtype=np.float32)
         lengths = np.zeros(B, dtype=np.int32)
+        offsets = np.zeros(B, dtype=np.int32)
+        prev_seg = np.full((B, MC), SENT, dtype=np.int32)
+        prev_tgt = np.zeros((B, MC), dtype=np.int32)
+        prev_qry = np.zeros((B, MC), dtype=np.int32)
         for i, st in enumerate(slots):
             part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
             chunks[i, : part.size] = part
             lengths[i] = part.size
+            offsets[i] = st.offset
+            k = 0
+            for ch in st.chains:
+                s = ch.reference_sequence_index * 2 + ch.strand
+                na = ch.anchors.shape[0]
+                take = min(na, MC - k)
+                if take <= 0:
+                    break
+                prev_seg[i, k : k + take] = s
+                prev_tgt[i, k : k + take] = ch.anchors[:take, 0]
+                prev_qry[i, k : k + take] = ch.anchors[:take, 1]
+                k += take
 
-        ev, hits = self._stage1(chunks, lengths)
-        ev_values = np.asarray(ev.values)
-        ev_counts = np.asarray(ev.n_events)
-        self.counters["events_dropped"] += int(np.asarray(ev.n_dropped).sum())
-        self.counters["seed_hits_dropped"] += int(
-            np.asarray(hits.n_dropped).sum()
+        (
+            ev_values,
+            ev_counts,
+            ev_dropped,
+            hit_dropped,
+            anch_dropped,
+            seg_b,
+            tgt_b,
+            qry_b,
+            n_anch,
+            scores,
+            preds,
+        ) = jax.device_get(
+            self._stage_chain(
+                chunks, lengths, offsets, prev_seg, prev_tgt, prev_qry
+            )
         )
-        h_tid = np.asarray(hits.t_id)
-        h_tpos = np.asarray(hits.t_pos)
-        h_str = np.asarray(hits.strand)
-        h_qpos = np.asarray(hits.q_pos)
-        h_valid = np.asarray(hits.valid)
+        self.counters["events_dropped"] += int(ev_dropped.sum())
+        self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
+        self.counters["anchors_dropped"] += int(anch_dropped.sum())
 
-        # host: merge carried anchors, sort, pad
-        A = self.max_anchors
-        seg_b = np.full((B, A), np.int32(0x7FFFFFFF), dtype=np.int32)
-        tgt_b = np.zeros((B, A), dtype=np.int32)
-        qry_b = np.zeros((B, A), dtype=np.int32)
-        n_anch = np.zeros(B, dtype=np.int32)
-        chain_this_round = np.zeros(B, dtype=bool)
+        chain_this_round = ev_counts >= opt.min_events
         for i, st in enumerate(slots):
             n_ev = int(ev_counts[i])
             if n_ev:
-                st.events = np.concatenate(
-                    [st.events, ev_values[i, :n_ev]]
-                )
-            if n_ev < opt.min_events:
-                # Reference quirk preserved (rmap.cpp:569-575): a chunk
-                # below min_events is appended to the global event array
-                # but reg->offset does NOT advance.
-                continue
-            chain_this_round[i] = True
-            v = h_valid[i].ravel()
-            tid = h_tid[i].ravel()[v]
-            tpos = h_tpos[i].ravel()[v]
-            strd = h_str[i].ravel()[v]
-            qpos = h_qpos[i].ravel()[v].astype(np.int64) + st.offset
-            seg = tid * 2 + strd
-            if st.chains:
-                prev_seg = []
-                prev_t = []
-                prev_q = []
-                for ch in st.chains:
-                    s = ch.reference_sequence_index * 2 + ch.strand
-                    for t, q in ch.anchors:
-                        prev_seg.append(s)
-                        prev_t.append(int(t))
-                        prev_q.append(int(q))
-                seg = np.concatenate([seg, np.asarray(prev_seg, seg.dtype)])
-                tpos = np.concatenate([tpos, np.asarray(prev_t, tpos.dtype)])
-                qpos = np.concatenate([qpos, np.asarray(prev_q, qpos.dtype)])
-            order = np.lexsort((qpos, tpos, seg))
-            if order.size > A:
-                self.counters["anchors_dropped"] += order.size - A
-                order = order[:A]
-            m = order.size
-            seg_b[i, :m] = seg[order]
-            tgt_b[i, :m] = tpos[order]
-            qry_b[i, :m] = qpos[order]
-            n_anch[i] = m
-            st.offset += n_ev
-
-        if not chain_this_round.any():
-            for st in slots:
-                st.chunk_ptr += L
-                st.chunks_done += 1
-            return
-
-        # shrink the anchor axis to the smallest power-of-two bucket that
-        # fits this round (one compile per bucket size)
-        a_round = 16
-        max_n_anch = int(n_anch.max())
-        while a_round < max_n_anch:
-            a_round *= 2
-        a_round = min(a_round, A)
-        dp = self._chain_dp(
-            seg_b[:, :a_round],
-            tgt_b[:, :a_round],
-            qry_b[:, :a_round],
-            n_anch,
-        )
-        scores = np.asarray(dp.scores)
-        preds = np.asarray(dp.preds)
+                st.events = np.concatenate([st.events, ev_values[i, :n_ev]])
 
         # host traceback + DTW + decisions
         all_tiles: list[tuple[np.ndarray, np.ndarray, int, bool]] = []
-        tile_owner: list[tuple[int, int]] = []  # (slot, chain idx)
+        tile_owner: list[tuple[int, int]] = []
         per_read_chains: dict[int, list[gchain.Chain]] = {}
         use_dtw = bool(
-            opt.flag & (MappingFlag.DTW_EVALUATE_CHAINS | MappingFlag.DTW_LOG_SCORES)
+            opt.flag
+            & (MappingFlag.DTW_EVALUATE_CHAINS | MappingFlag.DTW_LOG_SCORES)
         )
         for i, st in enumerate(slots):
             if not chain_this_round[i]:
@@ -295,13 +301,14 @@ class MappingEngine:
             )
             if use_dtw:
                 chains.sort(key=lambda c: c.chaining_score, reverse=True)
+                # events grow before chaining in this batched engine, so
+                # the read's full event array is already current here
+                ev_arr = st.events
                 for ci, ch in enumerate(chains):
                     ref_ev = self._signals[ch.strand][
                         ch.reference_sequence_index
                     ]
-                    ts = postprocess.build_chain_tiles(
-                        ch, ref_ev, st.events, opt
-                    )
+                    ts = postprocess.build_chain_tiles(ch, ref_ev, ev_arr, opt)
                     for t in ts:
                         all_tiles.append(t)
                         tile_owner.append((i, ci))
@@ -320,7 +327,6 @@ class MappingEngine:
                     )
                 )
             )
-            # group costs per (slot, chain)
             cost_map: dict[tuple[int, int], list[float]] = {}
             for (owner, c) in zip(tile_owner, costs):
                 cost_map.setdefault(owner, []).append(float(c))
@@ -339,6 +345,7 @@ class MappingEngine:
             st.chunks_done += 1
             if not chain_this_round[i]:
                 continue
+            st.offset += int(ev_counts[i])
             chains = per_read_chains.get(i, [])
             if chains:
                 chains = gchain.gen_primary_chains(chains, opt)
@@ -375,9 +382,7 @@ class MappingEngine:
             self.counters["reads_mapped"] += 1
             c0 = chains[0]
             if opt.flag & MappingFlag.DTW_OUTPUT_CIGAR:
-                gchain.align_chain(
-                    c0, self.index, st.events, opt, cigar=True
-                )
+                gchain.align_chain(c0, self.index, st.events, opt, cigar=True)
             at = aq = 0.0
             for ai in range(n_anchors0 - 1):
                 at += float(c0.anchors[ai][0]) - float(c0.anchors[ai + 1][0])

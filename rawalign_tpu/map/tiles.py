@@ -2,9 +2,11 @@
 
 The sparse border constraint turns chains into many small (a, b) DTW
 problems ("tiles", rmap.cpp:248-293). Tiles are swapped so a is the
-longer sequence (dtw.cpp:283-292), padded to static bucket shapes, and
-dispatched to the batched device kernel; each (max_n, dpw) bucket shape
-compiles once and is reused.
+longer sequence (dtw.cpp:283-292) and laid out in the band-aligned
+pre-shifted format the device kernel consumes (per-tile band offsets
+absorbed here so the kernel needs no gathers; see
+rawalign_tpu.map.dtw for the layout contract). Each (max_n, dpw) bucket
+shape compiles once and is reused.
 """
 
 from __future__ import annotations
@@ -22,16 +24,27 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclasses.dataclass
 class TileBatch:
-    a: np.ndarray
+    a2: np.ndarray  # (T, max_n + dpw) pre-shifted longer sequences
+    b2: np.ndarray  # (T, LB2) pre-shifted shorter sequences
     a_len: np.ndarray
-    b: np.ndarray
     b_len: np.ndarray
     radius: np.ndarray
     exclude_last: np.ndarray
+    a_last: np.ndarray
+    b_last: np.ndarray
+    d00: np.ndarray
+    dpw: int
+    max_n: int
+
+    @property
+    def n_tiles(self) -> int:
+        return self.a2.shape[0]
 
 
 def prepare_tiles(
     pairs: list[tuple[np.ndarray, np.ndarray, int, bool]],
+    *,
+    lane_align: int = 8,
 ) -> TileBatch:
     """pairs: (read_region, ref_region, band_radius, exclude_last).
 
@@ -43,51 +56,93 @@ def prepare_tiles(
     a_list, b_list = [], []
     for read_r, ref_r, _, _ in pairs:
         if read_r.size >= ref_r.size:
-            a_list.append(read_r)
-            b_list.append(ref_r)
+            a_list.append(np.asarray(read_r, np.float32))
+            b_list.append(np.asarray(ref_r, np.float32))
         else:
-            a_list.append(ref_r)
-            b_list.append(read_r)
-    la = max((x.size for x in a_list), default=1)
-    lb = max((x.size for x in b_list), default=1)
-    a = np.zeros((T, la), dtype=np.float32)
-    b = np.zeros((T, lb), dtype=np.float32)
-    a_len = np.zeros(T, dtype=np.int32)
-    b_len = np.zeros(T, dtype=np.int32)
-    radius = np.zeros(T, dtype=np.int32)
-    excl = np.zeros(T, dtype=bool)
-    for i, (pa, pb) in enumerate(zip(a_list, b_list)):
-        a[i, : pa.size] = pa
-        b[i, : pb.size] = pb
-        a_len[i] = pa.size
-        b_len[i] = pb.size
-        radius[i] = pairs[i][2]
-        excl[i] = pairs[i][3]
-    return TileBatch(a, a_len, b, b_len, radius, excl)
+            a_list.append(np.asarray(ref_r, np.float32))
+            b_list.append(np.asarray(read_r, np.float32))
+    a_len = np.array([x.size for x in a_list], dtype=np.int32)
+    b_len = np.array([x.size for x in b_list], dtype=np.int32)
+    radius = np.array([p[2] for p in pairs], dtype=np.int32)
+    excl = np.array([p[3] for p in pairs], dtype=bool)
 
+    n64 = np.maximum(a_len.astype(np.int64), 1)
+    m64 = b_len.astype(np.int64)
+    r64 = radius.astype(np.int64)
+    R = r64 + ((n64 - m64) * r64 + n64 - 1) // n64
+    lp = R + np.where(R % 2 == 0, 1, 0)
+    half_lp = (lp // 2).astype(np.int64)
 
-def max_widened_radius(batch: TileBatch) -> int:
-    n = batch.a_len.astype(np.int64)
-    m = batch.b_len.astype(np.int64)
-    r = batch.radius.astype(np.int64)
-    widened = r + ((n - m) * r + n - 1) // np.maximum(n, 1)
-    return int(widened.max(initial=1))
+    dpw = _round_up(int(R.max(initial=1)) + 3, lane_align)
+    max_n = _round_up(int(a_len.max(initial=1)), 16)
+    lb2 = _round_up(int((m64 + half_lp + 1 + dpw).max(initial=1)), lane_align)
 
-
-def dtw_banded(batch: TileBatch) -> np.ndarray:
-    """Run the batched banded DTW kernel; returns (T,) float32 costs."""
-    if batch.a.shape[0] == 0:
-        return np.zeros(0, dtype=np.float32)
-    dpw = _round_up(max_widened_radius(batch) + 2, 8)
-    max_n = _round_up(int(batch.a_len.max(initial=1)), 16)
-    out = ddtw.dtw_banded_batch(
-        batch.a,
-        batch.a_len,
-        batch.b,
-        batch.b_len,
-        batch.radius,
-        batch.exclude_last,
+    a2 = np.zeros((T, max_n + dpw), dtype=np.float32)
+    b2 = np.zeros((T, lb2), dtype=np.float32)
+    a_last = np.zeros(T, dtype=np.float32)
+    b_last = np.zeros(T, dtype=np.float32)
+    d00 = np.zeros(T, dtype=np.float32)
+    for t, (av, bv) in enumerate(zip(a_list, b_list)):
+        # A2[t, x] = a[t, x - (dpw-1) + half_lp[t]]
+        off_a = (dpw - 1) - int(half_lp[t])
+        lo = max(0, off_a)
+        hi = min(a2.shape[1], off_a + av.size)
+        if hi > lo:
+            a2[t, lo:hi] = av[lo - off_a : hi - off_a]
+        # B2[t, x] = b[t, x - half_lp[t] - 1]
+        off_b = int(half_lp[t]) + 1
+        hi_b = min(b2.shape[1], off_b + bv.size)
+        b2[t, off_b:hi_b] = bv[: hi_b - off_b]
+        if av.size and bv.size:
+            a_last[t] = av[-1]
+            b_last[t] = bv[-1]
+            d00[t] = np.float32(abs(np.float32(av[0]) - np.float32(bv[0])))
+    return TileBatch(
+        a2=a2,
+        b2=b2,
+        a_len=a_len,
+        b_len=b_len,
+        radius=radius,
+        exclude_last=excl,
+        a_last=a_last,
+        b_last=b_last,
+        d00=d00,
         dpw=dpw,
         max_n=max_n,
     )
-    return np.asarray(out)
+
+
+def dtw_banded(batch: TileBatch) -> np.ndarray:
+    """Run the batched banded DTW kernel; returns (T,) float32 costs.
+
+    The tile count is padded to a power-of-two bucket (dummy 1x1 tiles)
+    so repeated calls hit a small set of compiled shapes.
+    """
+    T = batch.n_tiles
+    if T == 0:
+        return np.zeros(0, dtype=np.float32)
+    Tp = 16
+    while Tp < T:
+        Tp *= 2
+    pad = Tp - T
+
+    def padt(x, fill=0):
+        if pad == 0:
+            return x
+        shape = (pad,) + x.shape[1:]
+        return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
+
+    out = ddtw.dtw_banded_batch(
+        padt(batch.a2),
+        padt(batch.b2),
+        padt(batch.a_len, 1),
+        padt(batch.b_len, 1),
+        padt(batch.radius, 1),
+        padt(batch.exclude_last, False),
+        padt(batch.a_last),
+        padt(batch.b_last),
+        padt(batch.d00),
+        dpw=batch.dpw,
+        max_n=batch.max_n,
+    )
+    return np.asarray(out)[:T]

@@ -43,7 +43,7 @@ def test_engine_matches_golden_exactly_with_full_window(setup, use_dtw):
     config.set_opt("viral", io, mo)
     if use_dtw:
         mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
-    engine = MappingEngine(idx, mo, batch_size=4, chain_window=2048, max_occ=256)
+    engine = MappingEngine(idx, mo, batch_size=4, chain_window=2048, max_occ=256, max_anchors=2048)
     got = {}
     for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
         got[res.read_name] = _strip_time(paf.paf_line(res))
@@ -72,7 +72,7 @@ def test_engine_accuracy_with_default_window(setup):
     mo = config.MappingOptions()
     config.set_opt("viral", io, mo)
     mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
-    engine = MappingEngine(idx, mo, batch_size=8)
+    engine = MappingEngine(idx, mo, batch_size=8, max_anchors=2048)
     n_correct = 0
     n_mapped = 0
     for res in engine.map_reads((r.name, r.signal) for r in ds.reads):

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""End-to-end evaluation driver: dataset -> index -> map -> metrics.
+
+Mirrors the reference's per-dataset evaluation scripts
+(test/evaluation/read_mapping/*/run_rawalign_banded_sparse.sh): maps a
+dataset under a named configuration and reports accuracy + throughput.
+Supports the same first-class parameter sweeps as the reference
+(band-radius fraction, match bonus, dtw-min-score;
+run_rawalign_banded_sparse.sh:5-25).
+
+    python tools/evaluate.py DATASET_DIR --preset viral --config banded_sparse
+    python tools/evaluate.py DATASET_DIR --sweep band-radius \
+        --values 0.05 0.10 0.15 0.20
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.compare_pafs import evaluate as compare_evaluate, load_truth_tsv
+
+CONFIGS = {
+    # mirrors of the reference eval configurations (0_run_all.sh:12-19)
+    "chaining_only": [],
+    "full_global": [
+        "--dtw-evaluate-chains",
+        "--dtw-border-constraint", "global",
+        "--dtw-fill-method", "full",
+    ],
+    "banded_global": [
+        "--dtw-evaluate-chains",
+        "--dtw-border-constraint", "global",
+        "--dtw-fill-method", "banded=0.10",
+    ],
+    "full_sparse": [
+        "--dtw-evaluate-chains",
+        "--dtw-border-constraint", "sparse",
+        "--dtw-fill-method", "full",
+    ],
+    "banded_sparse": [
+        "--dtw-evaluate-chains",
+        "--dtw-border-constraint", "sparse",
+        "--dtw-fill-method", "banded=0.10",
+        "--dtw-match-bonus", "0.4",
+        "--dtw-min-score", "20.0",
+    ],
+}
+
+
+def run_one(dataset, preset, extra_args, out_paf, engine="device"):
+    from rawalign_tpu import cli
+
+    ref = os.path.join(dataset, "ref.fa")
+    model = os.path.join(dataset, "model.txt")
+    idx = os.path.join(dataset, "ref.idx.npz")
+    reads = os.path.join(dataset, "reads.fast5")
+    if not os.path.exists(idx):
+        rc = cli.main(["-x", preset, "-p", model, "-d", idx, ref])
+        assert rc == 0
+    t0 = time.time()
+    rc = cli.main(
+        ["-x", preset, "--engine", engine, "-o", out_paf, *extra_args, idx, reads]
+    )
+    assert rc == 0
+    return time.time() - t0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset")
+    ap.add_argument("--preset", default="viral")
+    ap.add_argument("--config", default="banded_sparse", choices=CONFIGS)
+    ap.add_argument("--engine", default="device", choices=["device", "golden"])
+    ap.add_argument(
+        "--sweep", choices=["band-radius", "match-bonus", "dtw-min-score"]
+    )
+    ap.add_argument("--values", type=float, nargs="+")
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+
+    truth = load_truth_tsv(os.path.join(args.dataset, "truth.tsv"))
+    rows = []
+    if args.sweep:
+        flag = {
+            "band-radius": None,
+            "match-bonus": "--dtw-match-bonus",
+            "dtw-min-score": "--dtw-min-score",
+        }[args.sweep]
+        for v in args.values or [0.05, 0.10, 0.15]:
+            extra = [
+                "--dtw-evaluate-chains",
+                "--dtw-border-constraint", "sparse",
+            ]
+            if args.sweep == "band-radius":
+                extra += ["--dtw-fill-method", f"banded={v}"]
+            else:
+                extra += ["--dtw-fill-method", "banded=0.10", flag, str(v)]
+            out_paf = os.path.join(
+                args.dataset, f"out_{args.sweep}_{v}.paf"
+            )
+            wall = run_one(args.dataset, args.preset, extra, out_paf, args.engine)
+            m = compare_evaluate(out_paf, truth)
+            m["sweep_value"] = v
+            m["wall_s"] = round(wall, 2)
+            rows.append(m)
+    else:
+        out_paf = os.path.join(args.dataset, f"out_{args.config}.paf")
+        wall = run_one(
+            args.dataset, args.preset, CONFIGS[args.config], out_paf, args.engine
+        )
+        m = compare_evaluate(out_paf, truth)
+        m["config"] = args.config
+        m["wall_s"] = round(wall, 2)
+        rows.append(m)
+
+    if args.json:
+        print(json.dumps(rows))
+    else:
+        keys = list(rows[0].keys())
+        print("\t".join(keys))
+        for r in rows:
+            print(
+                "\t".join(
+                    f"{r[k]:.4f}" if isinstance(r[k], float) else str(r[k])
+                    for k in keys
+                )
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
