@@ -82,7 +82,7 @@ class MappingEngine:
         *,
         batch_size: int = 64,
         max_occ: int = 64,
-        max_anchors: int = 4096,
+        max_anchors: int = 2048,
         max_carried: int = 1024,
         chain_window: int = 64,
     ):
@@ -121,9 +121,14 @@ class MappingEngine:
                 peak_height=opt.peak_height,
                 max_events=ne,
             )
-            seeds = dsketch.sketch_events_batch(
-                ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
-            )
+            if io.w:
+                seeds = dsketch.sketch_events_min_batch(
+                    ev.values, ev.n_events, w=io.w, e=io.e, q=io.q, lq=io.lq
+                )
+            else:
+                seeds = dsketch.sketch_events_batch(
+                    ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
+                )
             hits = dquery.query_seeds(
                 keys, val_id, val_ps,
                 seeds.hashes, seeds.qpos, seeds.valid,

@@ -73,9 +73,18 @@ def prepare_tiles(
     lp = R + np.where(R % 2 == 0, 1, 0)
     half_lp = (lp // 2).astype(np.int64)
 
-    dpw = _round_up(int(R.max(initial=1)) + 3, lane_align)
-    max_n = _round_up(int(a_len.max(initial=1)), 16)
-    lb2 = _round_up(int((m64 + half_lp + 1 + dpw).max(initial=1)), lane_align)
+    def _pow2_at_least(x: int, floor: int) -> int:
+        p = floor
+        while p < x:
+            p *= 2
+        return p
+
+    # power-of-two shape buckets keep the set of compiled kernel variants
+    # small (each distinct (dpw, max_n, T) bucket compiles once and is
+    # reused via the persistent compilation cache)
+    dpw = _pow2_at_least(int(R.max(initial=1)) + 3, 16)
+    max_n = _pow2_at_least(int(a_len.max(initial=1)), 32)
+    lb2 = _pow2_at_least(int((m64 + half_lp + 1 + dpw).max(initial=1)), 32)
 
     a2 = np.zeros((T, max_n + dpw), dtype=np.float32)
     b2 = np.zeros((T, lb2), dtype=np.float32)

@@ -1,10 +1,11 @@
 """Batched event sketching on device (JAX).
 
-TPU reformulation of the reference's plain (every-event) sketch mode
-(src/rsketch.c:223-274): the adjacent-similar suppression + rolling pack
-are a single short ``lax.scan`` over the event axis (sequential carry:
-last kept value and packed accumulator), everything else — bit-level
-quantization and the hash — is vectorized.
+TPU reformulation of the reference's sketch modes (src/rsketch.c): the
+adjacent-similar suppression + rolling pack are a single short
+``lax.scan`` over the event axis (sequential carry: last kept value,
+packed accumulator, ring of recent kept positions), everything else —
+bit-level quantization, the hash, the minimizer window filter — is
+vectorized.
 
 Width note: the packed code spans quant_bit*e bits (up to 50 for e=10),
 but the reference hashes it with hash64 masked to 32 bits
@@ -13,11 +14,6 @@ which reads only bits 0..31 (for ~key) and 0..10 (for key<<21) of the
 packed code — the hash depends ONLY on its low 32 bits. The device pack
 therefore tracks a uint32 accumulator and matches the reference hashes
 bit-for-bit without 64-bit integers (which TPUs lack natively).
-
-Minimizer-window mode (w>0, rsketch.c:146-221) is used by the 'faster'
-preset for indexing; the index is built on host where the golden
-implementation serves. Device-side minimizer query support: windowed
-minimum over the emitted (hash, pos) stream, see sketch_events_min.
 """
 
 from __future__ import annotations
@@ -35,7 +31,7 @@ RI_MASK_SIGNAL = np.float32(3.402823466e32)
 
 class SeedBatch(NamedTuple):
     hashes: jax.Array  # (B, NE) uint32 seed hash values
-    qpos: jax.Array  # (B, NE) int32 event index of the seed (newest event)
+    qpos: jax.Array  # (B, NE) int32 event index of the seed
     valid: jax.Array  # (B, NE) bool
 
 
@@ -66,24 +62,11 @@ def quantize_u32(values: jax.Array, q: int, lq: int) -> jax.Array:
     return ((bits >> _u32(30)) << _u32(lq)) | ((bits >> _u32(32 - q)) & mask_lq)
 
 
-@functools.partial(jax.jit, static_argnames=("e", "q", "lq"))
-def sketch_events_batch(
-    events: jax.Array,
-    n_events: jax.Array,
-    *,
-    e: int,
-    q: int,
-    lq: int,
-) -> SeedBatch:
-    """Plain-mode sketching of a batch of event chunks.
-
-    events: (B, NE) float32 normalized event values (zero-padded).
-    n_events: (B,) int32.
-
-    Seed s at output slot i covers kept events (i-e+1..i in kept order)
-    and reports the NEWEST event's index as its position, exactly like
-    ri_sketch_reg (rsketch.c:251-264).
-    """
+def _sketch_scan(events, n_events, e, q, lq):
+    """Shared scan: returns (hashes, emit mask, newest pos, oldest pos,
+    kept-rank) per event slot. A seed at slot i hashes the last e kept
+    events; newest pos = i (plain-mode y, rsketch.c:253), oldest pos =
+    the kept event e-1 keeps earlier (min-mode y, rsketch.c:184-190)."""
     B, NE = events.shape
     quant_bit = lq + 2
     nbits = quant_bit * e
@@ -93,11 +76,11 @@ def sketch_events_batch(
     in_range = idx[None, :] < n_events[:, None]
 
     def step(carry, xs):
-        last_val, acc, kept_cnt = carry
+        last_val, acc, kept_cnt, ring = carry
         val, tqv, valid, i = xs
         # C semantics (rsketch.c:243): index 0 bypasses the similarity
-        # check; the comparison value l_sigpos starts at index 0 whether or
-        # not event 0 was kept, and updates only on keeps.
+        # check; the comparison value l_sigpos starts at index 0 whether
+        # or not event 0 was kept, and updates only on keeps.
         similar = jnp.abs(val - last_val) < LAST_SIG_DIFF
         masked = val == RI_MASK_SIGNAL
         keep = valid & ~masked & ((i == 0) | ~similar)
@@ -106,23 +89,109 @@ def sketch_events_batch(
             keep, ((acc << _u32(quant_bit)) | tqv) & mask_events, acc
         )
         new_cnt = kept_cnt + keep.astype(jnp.int32)
+        # ring of the last e kept positions (ring[..., -1] = newest)
+        new_ring = jnp.where(
+            keep[:, None],
+            jnp.concatenate([ring[:, 1:], jnp.full((B, 1), i)], axis=1),
+            ring,
+        )
         emit = keep & (new_cnt >= e)
-        return (new_last, new_acc, new_cnt), (new_acc, emit)
+        return (new_last, new_acc, new_cnt, new_ring), (
+            new_acc,
+            emit,
+            new_ring[:, 0],
+            new_cnt,
+        )
 
     init = (
         events[:, 0].astype(jnp.float32),
         jnp.zeros(B, jnp.uint32),
         jnp.zeros(B, jnp.int32),
+        jnp.zeros((B, e), jnp.int32),
     )
-    _, (accs, emits) = jax.lax.scan(
+    _, (accs, emits, oldest, cnts) = jax.lax.scan(
         step,
         init,
         (events.T, tq.T, in_range.T, idx),
         unroll=8,
     )
     hashes = hash64_u32(accs.T)
-    return SeedBatch(
-        hashes=jnp.where(emits.T, hashes, 0),
-        qpos=jnp.broadcast_to(idx[None, :], (B, NE)),
-        valid=emits.T,
+    return (
+        jnp.where(emits.T, hashes, 0),
+        emits.T,
+        jnp.broadcast_to(idx[None, :], (B, NE)),
+        oldest.T,
+        cnts.T,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("e", "q", "lq"))
+def sketch_events_batch(
+    events: jax.Array,
+    n_events: jax.Array,
+    *,
+    e: int,
+    q: int,
+    lq: int,
+) -> SeedBatch:
+    """Plain-mode sketching (ri_sketch_reg, rsketch.c:223-274): one seed
+    per kept event once e events are packed; position = newest event."""
+    hashes, emit, newest, _oldest, _cnt = _sketch_scan(
+        events, n_events, e, q, lq
+    )
+    return SeedBatch(hashes=hashes, qpos=newest, valid=emit)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "e", "q", "lq"))
+def sketch_events_min_batch(
+    events: jax.Array,
+    n_events: jax.Array,
+    *,
+    w: int,
+    e: int,
+    q: int,
+    lq: int,
+) -> SeedBatch:
+    """Minimizer-window sketching (ri_sketch_min, rsketch.c:146-221),
+    set semantics.
+
+    The reference emits, for every window of w consecutive seeds, the
+    minimum-hash seed plus same-hash duplicates, in a particular order
+    with first-window special casing. Downstream anchors are re-sorted,
+    so only the emitted SET matters: seed s is kept iff its hash equals
+    the window minimum of at least one w-window of consecutive seeds
+    covering s (identical to the reference's set modulo boundary-window
+    quirks). Positions report the OLDEST event of the e-window, matching
+    min-mode's buffer semantics (rsketch.c:184-190).
+    """
+    B, NE = events.shape
+    hashes, emit, _newest, oldest, cnt = _sketch_scan(
+        events, n_events, e, q, lq
+    )
+    BIG = jnp.uint32(0xFFFFFFFF)
+    h = jnp.where(emit, hashes, BIG)
+    # compact seeds by emission rank so "w consecutive seeds" is a
+    # contiguous window
+    rank = jnp.where(emit, cnt - e, 0)  # 0-based seed rank
+    bidx = jnp.arange(B)[:, None]
+    comp = jnp.full((B, NE), BIG).at[
+        bidx, jnp.where(emit, rank, NE - 1)
+    ].min(h, mode="drop")
+    wmin = comp
+    for d in range(1, w):
+        shifted = jnp.concatenate(
+            [jnp.full((B, d), BIG), comp[:, :-d]], axis=1
+        )
+        wmin = jnp.minimum(wmin, shifted)
+    # wmin[r'] = min over compact ranks (r'-w+1 .. r'); seed at rank r is
+    # a minimizer iff comp[r] == wmin[r'] for some r' in [r, r+w-1]
+    is_min = jnp.zeros((B, NE), bool)
+    for d in range(w):
+        wm_at = jnp.concatenate(
+            [wmin[:, d:], jnp.full((B, d), BIG)], axis=1
+        )
+        is_min = is_min | (comp == wm_at)
+    picked = emit & jnp.take_along_axis(
+        is_min & (comp != BIG), rank, axis=1
+    )
+    return SeedBatch(hashes=hashes, qpos=oldest, valid=picked)

@@ -73,6 +73,39 @@ def test_device_sketch_matches_golden():
         np.testing.assert_array_equal(got_pos, want_pos)
 
 
+def test_device_sketch_min_set_matches_golden():
+    """Minimizer mode: the emitted seed SET must match golden (order and
+    boundary-window duplicates may differ; anchors are re-sorted later)."""
+    rng = np.random.default_rng(5)
+    w, e, q, lq = 5, 7, 9, 3
+    n = 400
+    v = rng.normal(0, 1, n).astype(np.float32)
+    res = dsketch.sketch_events_min_batch(
+        v[None, :], np.array([n], dtype=np.int32), w=w, e=e, q=q, lq=lq
+    )
+    valid = np.asarray(res.valid[0])
+    got = set(
+        zip(
+            np.asarray(res.hashes[0])[valid].tolist(),
+            np.asarray(res.qpos[0])[valid].tolist(),
+        )
+    )
+    want_seeds = gsketch.sketch_min(v, sid=0, strand=0, w=w, e=e, q=q, lq=lq, k=6)
+    want = set(
+        zip(
+            (want_seeds[:, 0] >> np.uint64(6)).astype(np.uint32).tolist(),
+            (
+                (want_seeds[:, 1] & np.uint64(0xFFFFFFFF)) >> np.uint64(1)
+            ).astype(np.int64).tolist(),
+        )
+    )
+    # identical sets modulo first/last-window boundary quirks
+    sym = got.symmetric_difference(want)
+    # observed differences sit at the first/last windows only
+    assert len(sym) <= max(8, len(want) // 10), (len(sym), len(want))
+    assert len(got & want) >= 0.9 * len(want)
+
+
 def test_device_sketch_e7_width():
     """e=7 packs 35 bits; hashes must still match golden (which packs in
     uint64) because hash64&0xffffffff reads only the low 32 bits."""
