@@ -89,6 +89,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chain-window", type=int, default=64, help="chaining DP predecessor window")
     p.add_argument("--engine", choices=["device", "golden"], default="device",
                    help="'golden' runs the NumPy reference-replica engine")
+    # observability / fault tolerance (SURVEY §5: the reference has none;
+    # these are framework additions)
+    p.add_argument("--resume", action="store_true",
+                   help="skip reads already present in the -o PAF and append")
+    p.add_argument("--profile", metavar="DIR",
+                   help="capture a jax.profiler device trace into DIR")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax debug_nans (slow; for debugging)")
     return p
 
 
@@ -184,12 +192,29 @@ def main(argv=None) -> int:
         return 1
     io, mo = apply_options(args)
 
-    # load or build index
+    # load or build index; reference-format indexes are detected by their
+    # "RI" magic (rawindex.cpp:441-463), ours by .npz
+    def _is_ref_index(path: str) -> bool:
+        try:
+            with open(path, "rb") as f:
+                return f.read(2) == b"RI"
+        except OSError:
+            return False
+
     if args.target.endswith(".npz"):
         idx = dindex.RawIndex.load(args.target)
         print(
             f"[M::main::{time.time()-t0:.3f}] loaded the index for "
             f"{idx.n_seq} target sequence(s)",
+            file=sys.stderr,
+        )
+    elif _is_ref_index(args.target):
+        from rawalign_tpu.index.ref_format import load_reference_index
+
+        idx = load_reference_index(args.target)
+        print(
+            f"[M::main::{time.time()-t0:.3f}] loaded the reference-format "
+            f"index for {idx.n_seq} target sequence(s)",
             file=sys.stderr,
         )
     else:
@@ -210,7 +235,12 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         if args.dump:
-            idx.save(args.dump)
+            if args.dump.endswith(".ind"):
+                from rawalign_tpu.index.ref_format import dump_reference_index
+
+                dump_reference_index(idx, args.dump)
+            else:
+                idx.save(args.dump)
             print(f"[M::main] index dumped to {args.dump}", file=sys.stderr)
 
     if not args.query:
@@ -230,15 +260,45 @@ def main(argv=None) -> int:
         print("[ERROR] no signal files found", file=sys.stderr)
         return 1
 
-    out = sys.stdout if args.output == "-" else open(args.output, "w")
+    # resume: skip reads already emitted to the output PAF (the index file
+    # is the unit of precomputed state in the reference, SURVEY §5; here
+    # mapping additionally resumes at read granularity)
+    already_done: set[str] = set()
+    if args.resume and args.output != "-":
+        try:
+            with open(args.output) as f:
+                for line in f:
+                    if line.strip():
+                        already_done.add(line.split("\t", 1)[0])
+            print(
+                f"[M::main] resume: {len(already_done)} reads already mapped",
+                file=sys.stderr,
+            )
+        except OSError:
+            pass
+
+    if args.output == "-":
+        out = sys.stdout
+    else:
+        out = open(args.output, "a" if args.resume else "w")
     su = (
         SequenceUntil(idx.n_seq, mo)
         if mo.flag & MappingFlag.SEQUENCE_UNTIL
         else None
     )
+    if args.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
 
     def reads():
-        yield from fast5.read_signals(files)
+        for name, sig in fast5.read_signals(files):
+            if name not in already_done:
+                yield name, sig
 
     n_out = 0
     if args.engine == "golden":
@@ -268,6 +328,10 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
                 break
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
     if out is not sys.stdout:
         out.close()
     print(
