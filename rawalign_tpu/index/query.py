@@ -2,9 +2,14 @@
 
 Replaces the reference's per-seed khash probe loop (ri_idx_get +
 rmap.cpp:371-391) with two vectorized binary searches over the sorted key
-table and a (B, NE, MAX_OCC) gather. Hits beyond MAX_OCC per seed are
-dropped and counted (the reference has no cap; its disabled occurrence
-filter, rmap.cpp:28-51, played this role).
+table and a (B, NE, MAX_OCC) gather.
+
+Occurrence policy: seeds with more than MAX_OCC hits are dropped ENTIRELY
+(and counted). The reference has no cap, but ultra-frequent seeds carry
+almost no positional information and its own (disabled) occurrence filter
+(rmap.cpp:28-51) took the same stance; truncating their hit lists instead
+was measured to bias anchors toward low target positions and hurt
+accuracy.
 """
 
 from __future__ import annotations
@@ -41,10 +46,13 @@ def query_seeds(
     lo = jnp.searchsorted(keys, flat, side="left").reshape(B, NE)
     hi = jnp.searchsorted(keys, flat, side="right").reshape(B, NE)
     count = (hi - lo).astype(jnp.int32)
+    over_cap = count > max_occ
     o = jnp.arange(max_occ, dtype=jnp.int32)
     gidx = lo[..., None].astype(jnp.int32) + o
     hit_valid = (
-        seed_valid[..., None] & (o[None, None, :] < count[..., None])
+        seed_valid[..., None]
+        & ~over_cap[..., None]
+        & (o[None, None, :] < count[..., None])
     )
     gidx = jnp.clip(gidx, 0, max(keys.shape[0] - 1, 0))
     ids = val_id[gidx].astype(jnp.int32)
@@ -53,7 +61,7 @@ def query_seeds(
     t_pos = ((ps >> jnp.uint32(1)) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
     strand = (ps & jnp.uint32(1)).astype(jnp.int32)
     dropped = jnp.sum(
-        jnp.where(seed_valid, jnp.maximum(count - max_occ, 0), 0), axis=1
+        jnp.where(seed_valid & over_cap, count, 0), axis=1
     )
     return HitBatch(
         t_id=ids,
