@@ -219,4 +219,105 @@ int64_t ra_gen_peaks(const float* t1, const float* t2, int64_t n,
   return out;
 }
 
+// Banded DTW with the production anti-diagonal slanted-band geometry
+// (dtw.cpp:273-520 semantics; same cell set and operand triples as the
+// device kernel and the oracle-validated golden model). Evaluated
+// row-major over per-row band bounds derived from the anti-diagonal
+// sweep — identical float results, simpler traversal. Used as the host
+// fallback for tiles too large for the device kernel's memory budget.
+// a/b may be passed in either order; swaps internally so a is longer.
+float ra_dtw_banded(const float* a, int64_t n0, const float* b, int64_t m0,
+                    int radius, int exclude_last) {
+  if (n0 < m0) {
+    const float* t = a;
+    a = b;
+    b = t;
+    int64_t tl = n0;
+    n0 = m0;
+    m0 = tl;
+  }
+  const int64_t n = n0, m = m0;
+  int64_t r = radius;
+  r += ((n - m) * r + n - 1) / n;  // slope widening
+  const int64_t lp = r + ((r % 2 == 0) ? 1 : 0);
+  const int64_t ls = r + ((r % 2 == 1) ? 1 : 0);
+  const float kInf = 1e10f;
+
+  // per-row visited-column bounds from the anti-diagonal sweep
+  int64_t* jmin = new int64_t[n];
+  int64_t* jmax = new int64_t[n];
+  for (int64_t i = 0; i < n; ++i) {
+    jmin[i] = m;  // empty
+    jmax[i] = -1;
+  }
+  auto mark = [&](int64_t start_i, int64_t start_j, int64_t length) {
+    int64_t o0 = 0;
+    if (start_i - n + 1 > o0) o0 = start_i - n + 1;
+    if (-start_j > o0) o0 = -start_j;
+    int64_t o1 = length;
+    if (start_i + 1 < o1) o1 = start_i + 1;
+    if (m - start_j < o1) o1 = m - start_j;
+    for (int64_t o = o0; o < o1; ++o) {
+      const int64_t i = start_i - o;
+      const int64_t j = start_j + o;
+      if (j < jmin[i]) jmin[i] = j;
+      if (j > jmax[i]) jmax[i] = j;
+    }
+  };
+  jmin[0] = 0;
+  jmax[0] = 0;  // iteration 0 initializes only (0,0)
+  int64_t cr = 0;
+  for (int64_t it = 1; it < n; ++it) {
+    if ((cr + 1) * n <= m * it) {
+      ++cr;
+      mark(it + ls / 2 - 1, cr - ls / 2, ls);
+    }
+    mark(it + lp / 2, cr - lp / 2, lp);
+  }
+
+  // row-major masked DP with two rolling rows
+  float* prev = new float[m];
+  float* curr = new float[m];
+  for (int64_t j = 0; j < m; ++j) prev[j] = kInf;
+  float res = kInf;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t j = 0; j < m; ++j) curr[j] = kInf;
+    const int64_t lo = jmin[i], hi = jmax[i];
+    for (int64_t j = lo; j <= hi; ++j) {
+      if (i == 0 && j == 0) {
+        curr[0] = std::fabs(a[0] - b[0]);
+        continue;
+      }
+      const float top = (j > 0) ? curr[j - 1] : kInf;
+      const float left = (i > 0) ? prev[j] : kInf;
+      const float topleft = (i > 0 && j > 0) ? prev[j - 1] : kInf;
+      float best = top < left ? top : left;
+      if (topleft < best) best = topleft;
+      curr[j] = best + std::fabs(a[i] - b[j]);
+    }
+    float* t = prev;
+    prev = curr;
+    curr = t;
+  }
+  res = prev[m - 1];
+  delete[] prev;
+  delete[] curr;
+  delete[] jmin;
+  delete[] jmax;
+  if (exclude_last) res -= std::fabs(a[n - 1] - b[m - 1]);
+  return res;
+}
+
+// Batched variant over flattened tile arrays (offsets into a/b pools).
+void ra_dtw_banded_batch(const float* a_pool, const int64_t* a_off,
+                         const int64_t* a_len, const float* b_pool,
+                         const int64_t* b_off, const int64_t* b_len,
+                         const int32_t* radius, const uint8_t* exclude_last,
+                         int64_t n_tiles, float* out) {
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    out[t] = ra_dtw_banded(a_pool + a_off[t], a_len[t], b_pool + b_off[t],
+                           b_len[t], radius[t], exclude_last[t]);
+  }
+}
+
 }  // extern "C"

@@ -194,6 +194,16 @@ class MappingEngine:
             "dtw_tiles": 0,
             "dtw_cells": 0,
         }
+        # wall-clock per engine phase (seconds), for profiling
+        self.phase_times = {
+            "build_inputs": 0.0,
+            "stage_chain": 0.0,
+            "traceback": 0.0,
+            "dtw_prep": 0.0,
+            "dtw": 0.0,
+            "finalize": 0.0,
+            "rounds": 0,
+        }
 
     # ------------------------------------------------------------------
     def map_reads(
@@ -234,6 +244,16 @@ class MappingEngine:
     # ------------------------------------------------------------------
     def _round(self, slots: list[_ReadState]) -> None:
         opt = self.opt
+        pt = self.phase_times
+        pt["rounds"] += 1
+        t_mark = time.perf_counter()
+
+        def mark(phase):
+            nonlocal t_mark
+            now = time.perf_counter()
+            pt[phase] += now - t_mark
+            t_mark = now
+
         # pad to the fixed batch size so every round reuses one compile
         B = self.batch_size
         L = opt.chunk_size
@@ -274,11 +294,15 @@ class MappingEngine:
             n_anch,
             scores,
             preds,
-        ) = jax.device_get(
-            self._stage_chain(
-                chunks, lengths, offsets, prev_seg, prev_tgt, prev_qry
+        ) = (
+            mark("build_inputs")
+            or jax.device_get(
+                self._stage_chain(
+                    chunks, lengths, offsets, prev_seg, prev_tgt, prev_qry
+                )
             )
         )
+        mark("stage_chain")
         self.counters["events_dropped"] += int(ev_dropped.sum())
         self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
         self.counters["anchors_dropped"] += int(anch_dropped.sum())
@@ -318,18 +342,18 @@ class MappingEngine:
                         all_tiles.append(t)
                         tile_owner.append((i, ci))
             per_read_chains[i] = chains
+        mark("traceback")
 
         if use_dtw and all_tiles:
-            batch = tiles.prepare_tiles(all_tiles)
-            costs = tiles.dtw_banded(batch)
+            mark("dtw_prep")
+            costs = tiles.dtw_banded_pairs(all_tiles)
+            mark("dtw")
             self.counters["dtw_tiles"] += len(all_tiles)
             self.counters["dtw_cells"] += int(
-                np.sum(
-                    batch.a_len.astype(np.int64)
-                    * np.minimum(
-                        2 * batch.radius.astype(np.int64) + 1,
-                        batch.b_len.astype(np.int64),
-                    )
+                sum(
+                    max(ra.size, rb.size)
+                    * min(2 * r + 1, min(ra.size, rb.size))
+                    for ra, rb, r, _ in all_tiles
                 )
             )
             cost_map: dict[tuple[int, int], list[float]] = {}
@@ -358,6 +382,7 @@ class MappingEngine:
             st.chains = chains
             if self._decision(st):
                 st.done = True
+        mark("finalize")
 
     # ------------------------------------------------------------------
     def _decision(self, st: _ReadState) -> bool:

@@ -121,6 +121,64 @@ def prepare_tiles(
     )
 
 
+def dtw_banded_pairs(
+    pairs: list[tuple[np.ndarray, np.ndarray, int, bool]],
+    *,
+    device_max_n: int = 128,
+    device_max_b: int = 128,
+    memory_budget_bytes: int = 1 << 30,
+) -> np.ndarray:
+    """Size-bucketed batched DTW over raw tile pairs; returns costs in
+    input order.
+
+    Small tiles (the overwhelming majority under the sparse border
+    constraint) run on the device kernel, T-chunked to keep the one-hot
+    extraction tensor under the memory budget. Oversized tiles (rare long
+    chain parts / global-mode alignments) fall back to the native C
+    implementation of the same exact band geometry (numpy golden if the
+    native library is unavailable).
+    """
+    if not pairs:
+        return np.zeros(0, dtype=np.float32)
+    small_idx: list[int] = []
+    large_idx: list[int] = []
+    for i, (ra, rb, _, _) in enumerate(pairs):
+        if max(ra.size, rb.size) <= device_max_n and min(
+            ra.size, rb.size
+        ) <= device_max_b:
+            small_idx.append(i)
+        else:
+            large_idx.append(i)
+    out = np.zeros(len(pairs), dtype=np.float32)
+    if small_idx:
+        sub = [pairs[i] for i in small_idx]
+        batch = prepare_tiles(sub)
+        # cap the (T, max_n, LB2) one-hot extraction tensor
+        per_tile = batch.max_n * batch.b2.shape[1] * 4
+        t_cap = max(256, memory_budget_bytes // max(per_tile, 1))
+        costs = np.zeros(len(sub), dtype=np.float32)
+        for s0 in range(0, len(sub), t_cap):
+            chunk = [sub[i] for i in range(s0, min(s0 + t_cap, len(sub)))]
+            costs[s0 : s0 + len(chunk)] = dtw_banded(prepare_tiles(chunk))
+        out[small_idx] = costs
+    if large_idx:
+        from rawalign_tpu import native
+
+        sub = [pairs[i] for i in large_idx]
+        if native.available():
+            out[large_idx] = native.dtw_banded_batch(sub)
+        else:
+            from rawalign_tpu.golden import dtw as gdtw
+
+            out[large_idx] = [
+                np.float32(
+                    gdtw.dtw_global_slantedbanded_antidiagonalwise(a, b, r, x)
+                )
+                for a, b, r, x in sub
+            ]
+    return out
+
+
 def dtw_banded(batch: TileBatch) -> np.ndarray:
     """Run the batched banded DTW kernel; returns (T,) float32 costs.
 

@@ -52,6 +52,16 @@ def load() -> ctypes.CDLL | None:
         f32, f32, ctypes.c_int64, ctypes.c_float, ctypes.c_float,
         ctypes.c_int, ctypes.c_int, ctypes.c_float, u32,
     ]
+    i32arr = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8arr = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.ra_dtw_banded.restype = ctypes.c_float
+    lib.ra_dtw_banded.argtypes = [
+        f32, ctypes.c_int64, f32, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.ra_dtw_banded_batch.restype = None
+    lib.ra_dtw_banded_batch.argtypes = [
+        f32, i64p, i64p, f32, i64p, i64p, i32arr, u8arr, ctypes.c_int64, f32,
+    ]
     return lib
 
 
@@ -78,6 +88,45 @@ def sketch_min(values: np.ndarray, w: int, e: int, q: int, lq: int):
     out_p = np.empty(max(n, 1), dtype=np.int64)
     cnt = lib.ra_sketch_min(values, n, w, e, q, lq, out_h, out_p)
     return out_h[:cnt].copy(), out_p[:cnt].copy()
+
+
+def dtw_banded(a: np.ndarray, b: np.ndarray, radius: int, exclude_last: bool) -> float:
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.float32)
+    b = np.ascontiguousarray(b, dtype=np.float32)
+    return float(
+        lib.ra_dtw_banded(a, a.size, b, b.size, int(radius), int(exclude_last))
+    )
+
+
+def dtw_banded_batch(pairs) -> np.ndarray:
+    """pairs: list of (a, b, radius, exclude_last). Returns (T,) costs."""
+    lib = load()
+    T = len(pairs)
+    a_pool = np.concatenate(
+        [np.asarray(p[0], np.float32) for p in pairs]
+    ) if T else np.zeros(0, np.float32)
+    b_pool = np.concatenate(
+        [np.asarray(p[1], np.float32) for p in pairs]
+    ) if T else np.zeros(0, np.float32)
+    a_len = np.array([p[0].size for p in pairs], dtype=np.int64)
+    b_len = np.array([p[1].size for p in pairs], dtype=np.int64)
+    a_off = np.zeros(T, dtype=np.int64)
+    b_off = np.zeros(T, dtype=np.int64)
+    np.cumsum(a_len[:-1], out=a_off[1:])
+    np.cumsum(b_len[:-1], out=b_off[1:])
+    radius = np.array([p[2] for p in pairs], dtype=np.int32)
+    excl = np.array([p[3] for p in pairs], dtype=np.uint8)
+    out = np.zeros(T, dtype=np.float32)
+    if T:
+        lib.ra_dtw_banded_batch(
+            np.ascontiguousarray(a_pool),
+            a_off, a_len,
+            np.ascontiguousarray(b_pool),
+            b_off, b_len,
+            radius, excl, T, out,
+        )
+    return out
 
 
 def gen_peaks(
