@@ -5,10 +5,11 @@ Replaces the reference's pthread pipeline + per-read chunk loop
 steps:
 
   round loop (host):                        device (jitted):
-    gather next 1s-chunk of every live read   stage A: events + seeds + index
-    upload carried chain anchors                       hits + anchor sort +
-    <- ONE fetch: anchors/scores/preds                 chaining DP (one jit)
-    traceback + candidates (host, cheap)      stage B: batched banded DTW
+    gather next 1s-chunk of every live read   stage 1: events + seeds +
+    <- fetch events + per-seed hit bounds              index lookup bounds
+    expand hits, merge carried anchors,       stage 2: chaining DP
+    lexsort, pad (host: hit lists are tiny)   stage 3: batched banded DTW
+    traceback + candidates (host, cheap)
     B&B replay, primary chains, MAPQ,
     early-stop decisions; retire finished
     reads and refill slots from the queue
@@ -17,13 +18,17 @@ Reads finish at different chunks; the engine retires them by mask and
 keeps the batch full (continuous batching) — the TPU-idiomatic analog of
 the reference's per-read early exit (rmap.cpp:685-693).
 
-The device link in this environment costs ~60 ms per host<->device
-round trip, so the engine performs exactly two syncs per chunk round
-(chaining results, DTW costs), independent of batch size.
+Division of labor (measured on this environment's tunneled TPU): device
+sorts run ~10M elem/s and element gathers ~90M elem/s, so hit-list
+expansion and the anchor lexsort live on the host where the REAL data is
+tiny (hundreds of anchors/read); the device does the fixed-shape batched
+compute (event scan, sketch scan, searchsorted, chaining DP, DTW). Three
+host<->device syncs per chunk round, independent of batch size.
 """
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Iterable, Iterator
 
@@ -35,7 +40,6 @@ from rawalign_tpu.config import MappingFlag, MappingOptions
 from rawalign_tpu.golden import chain as gchain
 from rawalign_tpu.golden import engine as gengine
 from rawalign_tpu.index.index import RawIndex
-from rawalign_tpu.index import query as dquery
 from rawalign_tpu.io import paf
 from rawalign_tpu.map import chain as dchain
 from rawalign_tpu.map import postprocess, tiles
@@ -106,11 +110,11 @@ class MappingEngine:
         self._SENT = SENT
 
         @jax.jit
-        def _stage_chain(
-            keys, val_id, val_ps, chunks, lengths, offsets,
-            prev_seg, prev_tgt, prev_qry,
-        ):
-            B = chunks.shape[0]
+        def _stage1(keys, chunks, lengths):
+            """Events + sketch + index lookup BOUNDS. Hit expansion and
+            the anchor sort run on the HOST: the device's sort machinery
+            measured ~10M elem/s and per-element gathers ~90M elem/s,
+            while the real hit lists are tiny (hundreds per read)."""
             ev = devents.detect_events_batch(
                 chunks,
                 lengths,
@@ -129,61 +133,45 @@ class MappingEngine:
                 seeds = dsketch.sketch_events_batch(
                     ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
                 )
-            hits = dquery.query_seeds(
-                keys, val_id, val_ps,
-                seeds.hashes, seeds.qpos, seeds.valid,
-                max_occ=max_occ,
+            flat = seeds.hashes.reshape(-1)
+            lo = jnp.searchsorted(keys, flat, side="left").reshape(
+                seeds.hashes.shape
             )
-            # reads below min_events skip chaining this round
-            # (rmap.cpp:569-572)
-            do_chain = ev.n_events >= opt.min_events
-            H = hits.t_id.shape[1] * hits.t_id.shape[2]
-            seg = (hits.t_id * 2 + hits.strand).reshape(B, H)
-            valid = hits.valid.reshape(B, H) & do_chain[:, None]
-            seg = jnp.where(valid, seg, SENT)
-            tgt = hits.t_pos.reshape(B, H)
-            qry = hits.q_pos.reshape(B, H) + offsets[:, None]
-            # merge carried anchors (previous chunks' surviving chains,
-            # rmap.cpp:343-362)
-            pvalid = (prev_seg != SENT) & do_chain[:, None]
-            seg = jnp.concatenate(
-                [seg, jnp.where(pvalid, prev_seg, SENT)], axis=1
+            hi = jnp.searchsorted(keys, flat, side="right").reshape(
+                seeds.hashes.shape
             )
-            tgt = jnp.concatenate([tgt, prev_tgt], axis=1)
-            qry = jnp.concatenate([qry, prev_qry], axis=1)
-            order = jnp.lexsort((qry, tgt, seg), axis=-1)
-            seg = jnp.take_along_axis(seg, order, axis=1)[:, :max_anchors]
-            tgt = jnp.take_along_axis(tgt, order, axis=1)[:, :max_anchors]
-            qry = jnp.take_along_axis(qry, order, axis=1)[:, :max_anchors]
-            n_total = jnp.sum(valid, axis=1) + jnp.sum(pvalid, axis=1)
-            n_anchors = jnp.minimum(n_total, max_anchors).astype(jnp.int32)
-            dp = dchain.chain_dp_batch(
-                seg,
-                tgt,
-                qry,
-                n_anchors,
+            count = (hi - lo).astype(jnp.int32)
+            over = count > max_occ
+            n_occ_dropped = jnp.sum(
+                jnp.where(seeds.valid & over, count, 0), axis=1
+            ).astype(jnp.int32)
+            count = jnp.where(seeds.valid & ~over, count, 0)
+            return (
+                ev.values,
+                ev.n_events,
+                ev.n_dropped,
+                n_occ_dropped,
+                lo.astype(jnp.int32),
+                count,
+                seeds.qpos,
+            )
+
+        self._stage1 = lambda chunks, lengths: _stage1(
+            self._keys, chunks, lengths
+        )
+        # host copies for hit expansion
+        self._h_val_id = np.asarray(index.val_id)
+        self._h_val_ps = np.asarray(index.val_ps)
+
+        self._chain_dp = jax.jit(
+            functools.partial(
+                dchain.chain_dp_batch,
                 window=chain_window,
                 e=io.e,
                 max_gap=opt.max_gap_length,
                 max_target_gap=opt.max_target_gap_length,
                 max_skips=opt.max_num_skips,
             )
-            return (
-                ev.values,
-                ev.n_events,
-                ev.n_dropped,
-                hits.n_dropped,
-                (n_total - n_anchors).astype(jnp.int32),
-                seg,
-                tgt,
-                qry,
-                n_anchors,
-                dp.scores,
-                dp.preds,
-            )
-
-        self._stage_chain = lambda *args: _stage_chain(
-            self._keys, self._val_id, self._val_ps, *args
         )
         self.counters = {
             "seed_hits_dropped": 0,
@@ -198,6 +186,8 @@ class MappingEngine:
         self.phase_times = {
             "build_inputs": 0.0,
             "stage_chain": 0.0,
+            "host_anchors": 0.0,
+            "chain_dp": 0.0,
             "traceback": 0.0,
             "dtw_prep": 0.0,
             "dtw": 0.0,
@@ -258,60 +248,114 @@ class MappingEngine:
         B = self.batch_size
         L = opt.chunk_size
         SENT = self._SENT
-        MC = self.max_carried
         chunks = np.zeros((B, L), dtype=np.float32)
         lengths = np.zeros(B, dtype=np.int32)
-        offsets = np.zeros(B, dtype=np.int32)
-        prev_seg = np.full((B, MC), SENT, dtype=np.int32)
-        prev_tgt = np.zeros((B, MC), dtype=np.int32)
-        prev_qry = np.zeros((B, MC), dtype=np.int32)
         for i, st in enumerate(slots):
             part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
             chunks[i, : part.size] = part
             lengths[i] = part.size
-            offsets[i] = st.offset
-            k = 0
-            for ch in st.chains:
-                s = ch.reference_sequence_index * 2 + ch.strand
-                na = ch.anchors.shape[0]
-                take = min(na, MC - k)
-                if take <= 0:
-                    break
-                prev_seg[i, k : k + take] = s
-                prev_tgt[i, k : k + take] = ch.anchors[:take, 0]
-                prev_qry[i, k : k + take] = ch.anchors[:take, 1]
-                k += take
+        mark("build_inputs")
 
         (
             ev_values,
             ev_counts,
             ev_dropped,
             hit_dropped,
-            anch_dropped,
-            seg_b,
-            tgt_b,
-            qry_b,
-            n_anch,
-            scores,
-            preds,
-        ) = (
-            mark("build_inputs")
-            or jax.device_get(
-                self._stage_chain(
-                    chunks, lengths, offsets, prev_seg, prev_tgt, prev_qry
-                )
-            )
-        )
+            h_lo,
+            h_count,
+            h_qpos,
+        ) = jax.device_get(self._stage1(chunks, lengths))
         mark("stage_chain")
         self.counters["events_dropped"] += int(ev_dropped.sum())
         self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
-        self.counters["anchors_dropped"] += int(anch_dropped.sum())
 
         chain_this_round = ev_counts >= opt.min_events
+        chain_this_round[len(slots) :] = False
         for i, st in enumerate(slots):
             n_ev = int(ev_counts[i])
             if n_ev:
                 st.events = np.concatenate([st.events, ev_values[i, :n_ev]])
+
+        # host: expand hit lists (tiny), merge carried anchors, sort, pad
+        A = self.max_anchors
+        seg_b = np.full((B, A), SENT, dtype=np.int32)
+        tgt_b = np.zeros((B, A), dtype=np.int32)
+        qry_b = np.zeros((B, A), dtype=np.int32)
+        n_anch = np.zeros(B, dtype=np.int32)
+        max_used = 0
+        for i, st in enumerate(slots):
+            if not chain_this_round[i]:
+                continue
+            counts = h_count[i]
+            sel = np.nonzero(counts)[0]
+            if sel.size:
+                reps = counts[sel]
+                starts = h_lo[i][sel]
+                # flat hit indices: starts[k] .. starts[k]+reps[k]
+                total = int(reps.sum())
+                base = np.repeat(starts, reps)
+                offs = np.arange(total) - np.repeat(
+                    np.cumsum(reps) - reps, reps
+                )
+                hidx = base + offs
+                tid = self._h_val_id[hidx].astype(np.int64)
+                ps = self._h_val_ps[hidx]
+                tpos = ((ps >> np.uint32(1)) & np.uint32(0x7FFFFFFF)).astype(
+                    np.int64
+                )
+                strd = (ps & np.uint32(1)).astype(np.int64)
+                seg = tid * 2 + strd
+                qpos = np.repeat(h_qpos[i][sel], reps).astype(np.int64) + st.offset
+            else:
+                seg = np.zeros(0, np.int64)
+                tpos = np.zeros(0, np.int64)
+                qpos = np.zeros(0, np.int64)
+            if st.chains:
+                prev_seg, prev_t, prev_q = [], [], []
+                for ch in st.chains:
+                    s = ch.reference_sequence_index * 2 + ch.strand
+                    for t, q in ch.anchors:
+                        prev_seg.append(s)
+                        prev_t.append(int(t))
+                        prev_q.append(int(q))
+                seg = np.concatenate([seg, np.asarray(prev_seg, np.int64)])
+                tpos = np.concatenate([tpos, np.asarray(prev_t, np.int64)])
+                qpos = np.concatenate([qpos, np.asarray(prev_q, np.int64)])
+            order = np.lexsort((qpos, tpos, seg))
+            if order.size > A:
+                self.counters["anchors_dropped"] += order.size - A
+                order = order[:A]
+            m = order.size
+            seg_b[i, :m] = seg[order]
+            tgt_b[i, :m] = tpos[order]
+            qry_b[i, :m] = qpos[order]
+            n_anch[i] = m
+            max_used = max(max_used, m)
+        mark("host_anchors")
+
+        if not chain_this_round.any():
+            for st in slots:
+                st.chunk_ptr += L
+                st.chunks_done += 1
+            mark("finalize")
+            return
+
+        # chain DP on device, anchor axis bucketed to powers of two
+        a_round = 256
+        while a_round < max_used:
+            a_round *= 2
+        a_round = min(a_round, A)
+        dp = jax.device_get(
+            self._chain_dp(
+                seg_b[:, :a_round],
+                tgt_b[:, :a_round],
+                qry_b[:, :a_round],
+                n_anch,
+            )
+        )
+        scores = np.asarray(dp.scores)
+        preds = np.asarray(dp.preds)
+        mark("chain_dp")
 
         # host traceback + DTW + decisions
         all_tiles: list[tuple[np.ndarray, np.ndarray, int, bool]] = []
