@@ -152,14 +152,18 @@ def dtw_banded_pairs(
     out = np.zeros(len(pairs), dtype=np.float32)
     if small_idx:
         sub = [pairs[i] for i in small_idx]
-        batch = prepare_tiles(sub)
-        # cap the (T, max_n, LB2) one-hot extraction tensor
-        per_tile = batch.max_n * batch.b2.shape[1] * 4
+        # cap the (T, max_n, LB2) one-hot extraction tensor; dispatch all
+        # chunks asynchronously and sync once (each host<->device sync
+        # costs ~60 ms in this environment)
+        per_tile = device_max_n * 4 * device_max_n * 4  # rough upper bound
         t_cap = max(256, memory_budget_bytes // max(per_tile, 1))
-        costs = np.zeros(len(sub), dtype=np.float32)
+        pending = []
         for s0 in range(0, len(sub), t_cap):
-            chunk = [sub[i] for i in range(s0, min(s0 + t_cap, len(sub)))]
-            costs[s0 : s0 + len(chunk)] = dtw_banded(prepare_tiles(chunk))
+            chunk = sub[s0 : s0 + t_cap]
+            pending.append((s0, len(chunk), dtw_banded_async(prepare_tiles(chunk))))
+        costs = np.zeros(len(sub), dtype=np.float32)
+        for s0, ln, dev in pending:
+            costs[s0 : s0 + ln] = np.asarray(dev)[:ln]
         out[small_idx] = costs
     if large_idx:
         from rawalign_tpu import native
@@ -180,10 +184,14 @@ def dtw_banded_pairs(
 
 
 def dtw_banded(batch: TileBatch) -> np.ndarray:
-    """Run the batched banded DTW kernel; returns (T,) float32 costs.
+    """Run the batched banded DTW kernel; returns (T,) float32 costs."""
+    return np.asarray(dtw_banded_async(batch))[: batch.n_tiles]
 
-    The tile count is padded to a power-of-two bucket (dummy 1x1 tiles)
-    so repeated calls hit a small set of compiled shapes.
+
+def dtw_banded_async(batch: TileBatch):
+    """Dispatch the kernel and return the (padded) device array without
+    blocking. The tile count is padded to a power-of-two bucket (dummy
+    1x1 tiles) so repeated calls hit a small set of compiled shapes.
     """
     T = batch.n_tiles
     if T == 0:
@@ -212,4 +220,4 @@ def dtw_banded(batch: TileBatch) -> np.ndarray:
         dpw=batch.dpw,
         max_n=batch.max_n,
     )
-    return np.asarray(out)[:T]
+    return out
