@@ -89,6 +89,7 @@ class MappingEngine:
         max_anchors: int = 2048,
         max_carried: int = 1024,
         chain_window: int = 64,
+        pipeline_depth: int = 2,
     ):
         from rawalign_tpu import runtime
 
@@ -100,6 +101,7 @@ class MappingEngine:
         self.max_anchors = max_anchors
         self.max_carried = max_carried
         self.chain_window = chain_window
+        self.pipeline_depth = pipeline_depth
         self._keys = jnp.asarray(index.keys)
         self._val_id = jnp.asarray(index.val_id)
         self._val_ps = jnp.asarray(index.val_ps)
@@ -199,40 +201,55 @@ class MappingEngine:
     def map_reads(
         self, reads: Iterable[tuple[str, np.ndarray]]
     ) -> Iterator[paf.MappingResult]:
-        """Continuous batching over an iterable of (name, signal)."""
+        """Continuous batching with software pipelining: ``pipeline_depth``
+        read groups advance round-robin, one sync segment at a time, so
+        one group's host work overlaps another group's in-flight device
+        work (the device link costs ~60 ms per sync — interleaving hides
+        most of it)."""
         it = iter(reads)
-        slots: list[_ReadState] = []
-        finished: list[_ReadState] = []
+        depth = max(1, self.pipeline_depth)
+        group_slots: list[list[_ReadState]] = [[] for _ in range(depth)]
+        gens: list = [None] * depth
         exhausted = False
         while True:
-            while not exhausted and len(slots) < self.batch_size:
-                try:
-                    name, sig = next(it)
-                except StopIteration:
-                    exhausted = True
-                    break
-                slots.append(_ReadState(name, sig))
-            if not slots:
+            progressed = False
+            for g in range(depth):
+                if gens[g] is None:
+                    slots = group_slots[g]
+                    # retire finished reads
+                    still = []
+                    for st in slots:
+                        if (
+                            st.done
+                            or st.chunk_ptr >= st.qlen
+                            or st.chunks_done >= self.opt.max_num_chunk
+                        ):
+                            st.map_time = time.perf_counter() - st.t_start
+                            yield self._emit(st)
+                        else:
+                            still.append(st)
+                    slots = still
+                    while not exhausted and len(slots) < self.batch_size:
+                        try:
+                            name, sig = next(it)
+                        except StopIteration:
+                            exhausted = True
+                            break
+                        slots.append(_ReadState(name, sig))
+                    group_slots[g] = slots
+                    if slots:
+                        gens[g] = self._round_gen(slots)
+                if gens[g] is not None:
+                    progressed = True
+                    try:
+                        next(gens[g])
+                    except StopIteration:
+                        gens[g] = None
+            if not progressed:
                 break
-            self._round(slots)
-            still = []
-            for st in slots:
-                if (
-                    st.done
-                    or st.chunk_ptr >= st.qlen
-                    or st.chunks_done >= self.opt.max_num_chunk
-                ):
-                    st.map_time = time.perf_counter() - st.t_start
-                    finished.append(st)
-                else:
-                    still.append(st)
-            slots = still
-            for st in finished:
-                yield self._emit(st)
-            finished = []
 
     # ------------------------------------------------------------------
-    def _round(self, slots: list[_ReadState]) -> None:
+    def _round_gen(self, slots: list[_ReadState]):
         opt = self.opt
         pt = self.phase_times
         pt["rounds"] += 1
@@ -256,6 +273,8 @@ class MappingEngine:
             lengths[i] = part.size
         mark("build_inputs")
 
+        stage1_fut = self._stage1(chunks, lengths)  # async dispatch
+        yield  # other groups' host work overlaps this device work
         (
             ev_values,
             ev_counts,
@@ -264,7 +283,7 @@ class MappingEngine:
             h_lo,
             h_count,
             h_qpos,
-        ) = jax.device_get(self._stage1(chunks, lengths))
+        ) = jax.device_get(stage1_fut)
         mark("stage_chain")
         self.counters["events_dropped"] += int(ev_dropped.sum())
         self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
@@ -345,14 +364,14 @@ class MappingEngine:
         while a_round < max_used:
             a_round *= 2
         a_round = min(a_round, A)
-        dp = jax.device_get(
-            self._chain_dp(
-                seg_b[:, :a_round],
-                tgt_b[:, :a_round],
-                qry_b[:, :a_round],
-                n_anch,
-            )
+        dp_fut = self._chain_dp(
+            seg_b[:, :a_round],
+            tgt_b[:, :a_round],
+            qry_b[:, :a_round],
+            n_anch,
         )
+        yield
+        dp = jax.device_get(dp_fut)
         scores = np.asarray(dp.scores)
         preds = np.asarray(dp.preds)
         mark("chain_dp")
@@ -389,8 +408,10 @@ class MappingEngine:
         mark("traceback")
 
         if use_dtw and all_tiles:
+            pending = tiles.dtw_submit(all_tiles)
             mark("dtw_prep")
-            costs = tiles.dtw_banded_pairs(all_tiles)
+            yield
+            costs = tiles.dtw_collect(pending)
             mark("dtw")
             self.counters["dtw_tiles"] += len(all_tiles)
             self.counters["dtw_cells"] += int(

@@ -121,25 +121,31 @@ def prepare_tiles(
     )
 
 
-def dtw_banded_pairs(
+@dataclasses.dataclass
+class PendingDtw:
+    n: int
+    small_idx: list
+    small_pending: list  # (s0, len, device_array)
+    large_idx: list
+    large_costs: np.ndarray
+
+
+def dtw_submit(
     pairs: list[tuple[np.ndarray, np.ndarray, int, bool]],
     *,
     device_max_n: int = 128,
     device_max_b: int = 128,
     memory_budget_bytes: int = 1 << 30,
-) -> np.ndarray:
-    """Size-bucketed batched DTW over raw tile pairs; returns costs in
-    input order.
+) -> PendingDtw:
+    """Size-bucketed batched DTW over raw tile pairs: dispatch phase.
 
     Small tiles (the overwhelming majority under the sparse border
-    constraint) run on the device kernel, T-chunked to keep the one-hot
-    extraction tensor under the memory budget. Oversized tiles (rare long
-    chain parts / global-mode alignments) fall back to the native C
-    implementation of the same exact band geometry (numpy golden if the
-    native library is unavailable).
-    """
-    if not pairs:
-        return np.zeros(0, dtype=np.float32)
+    constraint) are dispatched to the device kernel asynchronously,
+    T-chunked to keep the one-hot extraction tensor under the memory
+    budget. Oversized tiles (rare long chain parts / global-mode
+    alignments) run on the native C implementation of the same exact band
+    geometry while the device chunks are in flight (numpy golden if the
+    native library is unavailable). Collect results with dtw_collect."""
     small_idx: list[int] = []
     large_idx: list[int] = []
     for i, (ra, rb, _, _) in enumerate(pairs):
@@ -149,38 +155,62 @@ def dtw_banded_pairs(
             small_idx.append(i)
         else:
             large_idx.append(i)
-    out = np.zeros(len(pairs), dtype=np.float32)
+    small_pending = []
     if small_idx:
         sub = [pairs[i] for i in small_idx]
-        # cap the (T, max_n, LB2) one-hot extraction tensor; dispatch all
-        # chunks asynchronously and sync once (each host<->device sync
-        # costs ~60 ms in this environment)
         per_tile = device_max_n * 4 * device_max_n * 4  # rough upper bound
         t_cap = max(256, memory_budget_bytes // max(per_tile, 1))
-        pending = []
         for s0 in range(0, len(sub), t_cap):
             chunk = sub[s0 : s0 + t_cap]
-            pending.append((s0, len(chunk), dtw_banded_async(prepare_tiles(chunk))))
-        costs = np.zeros(len(sub), dtype=np.float32)
-        for s0, ln, dev in pending:
-            costs[s0 : s0 + ln] = np.asarray(dev)[:ln]
-        out[small_idx] = costs
+            small_pending.append(
+                (s0, len(chunk), dtw_banded_async(prepare_tiles(chunk)))
+            )
+    large_costs = np.zeros(0, np.float32)
     if large_idx:
         from rawalign_tpu import native
 
         sub = [pairs[i] for i in large_idx]
         if native.available():
-            out[large_idx] = native.dtw_banded_batch(sub)
+            large_costs = native.dtw_banded_batch(sub)
         else:
             from rawalign_tpu.golden import dtw as gdtw
 
-            out[large_idx] = [
-                np.float32(
+            large_costs = np.array(
+                [
                     gdtw.dtw_global_slantedbanded_antidiagonalwise(a, b, r, x)
-                )
-                for a, b, r, x in sub
-            ]
+                    for a, b, r, x in sub
+                ],
+                dtype=np.float32,
+            )
+    return PendingDtw(
+        n=len(pairs),
+        small_idx=small_idx,
+        small_pending=small_pending,
+        large_idx=large_idx,
+        large_costs=large_costs,
+    )
+
+
+def dtw_collect(pending: PendingDtw) -> np.ndarray:
+    """Block on the device chunks and assemble costs in input order."""
+    out = np.zeros(pending.n, dtype=np.float32)
+    if pending.small_idx:
+        costs = np.zeros(len(pending.small_idx), dtype=np.float32)
+        for s0, ln, dev in pending.small_pending:
+            costs[s0 : s0 + ln] = np.asarray(dev)[:ln]
+        out[pending.small_idx] = costs
+    if pending.large_idx:
+        out[pending.large_idx] = pending.large_costs
     return out
+
+
+def dtw_banded_pairs(
+    pairs: list[tuple[np.ndarray, np.ndarray, int, bool]], **kw
+) -> np.ndarray:
+    """Synchronous wrapper: submit + collect."""
+    if not pairs:
+        return np.zeros(0, dtype=np.float32)
+    return dtw_collect(dtw_submit(pairs, **kw))
 
 
 def dtw_banded(batch: TileBatch) -> np.ndarray:
