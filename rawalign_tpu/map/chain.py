@@ -142,7 +142,7 @@ def chain_dp_batch(
         [jnp.full((B, W), NEG), jnp.zeros((B, A), jnp.float32)], axis=1
     )
     _, (scores_t, preds_t) = jax.lax.scan(
-        step, f_init, jnp.arange(A, dtype=jnp.int32), unroll=4
+        step, f_init, jnp.arange(A, dtype=jnp.int32), unroll=2
     )
     scores = scores_t.T
     preds = preds_t.T

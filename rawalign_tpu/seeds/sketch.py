@@ -113,7 +113,7 @@ def _sketch_scan(events, n_events, e, q, lq):
         step,
         init,
         (events.T, tq.T, in_range.T, idx),
-        unroll=8,
+        unroll=2,
     )
     hashes = hash64_u32(accs.T)
     return (

@@ -68,7 +68,7 @@ def _sequential_prefix_sums(sig: jax.Array, length: jax.Array):
 
     init = (jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.float32))
     s2 = s * s
-    _, (ps_t, pss_t) = jax.lax.scan(step, init, (s.T, s2.T), unroll=8)
+    _, (ps_t, pss_t) = jax.lax.scan(step, init, (s.T, s2.T), unroll=2)
     z = jnp.zeros((B, 1), jnp.float32)
     ps = jnp.concatenate([z, ps_t.T], axis=1)
     pss = jnp.concatenate([z, pss_t.T], axis=1)
