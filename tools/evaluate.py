@@ -69,6 +69,39 @@ def run_one(dataset, preset, extra_args, out_paf, engine="device"):
     return time.time() - t0
 
 
+def run_abundance(args) -> int:
+    """Map the dataset and compare estimated relative abundance (mapped
+    fragment bases per reference) against the ground truth composition."""
+    import collections
+
+    truth = load_truth_tsv(os.path.join(args.dataset, "truth.tsv"))
+    out_paf = os.path.join(args.dataset, "out_abundance.paf")
+    extra = CONFIGS["banded_sparse"] + ["--stop-min-anchor", "2"]
+    run_one(args.dataset, args.preset, extra, out_paf, args.engine)
+    est = collections.Counter()
+    with open(out_paf) as f:
+        for line in f:
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) > 8 and fields[2] != "*":
+                est[fields[5]] += int(fields[8]) - int(fields[7])
+    true_bp = collections.Counter()
+    for name, (ref, strand, start, end) in truth.items():
+        if ref != "*":
+            true_bp[ref] += end - start
+    total_e = sum(est.values()) or 1
+    total_t = sum(true_bp.values()) or 1
+    refs = sorted(set(est) | set(true_bp))
+    print("ref\test_abundance\ttrue_abundance\terror")
+    max_err = 0.0
+    for r in refs:
+        e = est[r] / total_e
+        t = true_bp[r] / total_t
+        max_err = max(max_err, abs(e - t))
+        print(f"{r}\t{e:.4f}\t{t:.4f}\t{abs(e - t):.4f}")
+    print(f"# max_abs_error\t{max_err:.4f}")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("dataset")
@@ -80,7 +113,17 @@ def main() -> int:
     )
     ap.add_argument("--values", type=float, nargs="+")
     ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--abundance",
+        action="store_true",
+        help="relative-abundance workload: report estimated vs true "
+        "per-reference abundance (the reference's "
+        "table_relative_abundance.py analog)",
+    )
     args = ap.parse_args()
+
+    if args.abundance:
+        return run_abundance(args)
 
     truth = load_truth_tsv(os.path.join(args.dataset, "truth.tsv"))
     rows = []
