@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def build_dataset(n_reads=192, genome_kb=200):
+def build_dataset(n_reads=384, genome_kb=200):
     from rawalign_tpu import config
     from rawalign_tpu.index import index as dindex
     from rawalign_tpu.testing import synth
@@ -43,18 +43,34 @@ def bench_mapping(ds, idx, mo):
     from rawalign_tpu.map.engine import MappingEngine
 
     reads = [(r.name, r.signal) for r in ds.reads]
-    engine = MappingEngine(idx, mo, batch_size=64)
+    ds_reads = ds.reads
+    engine = MappingEngine(idx, mo, batch_size=128)
     # warmup pass compiles every bucket shape
-    warm = reads[: min(64, len(reads))]
+    warm = reads[: min(256, len(reads))]
     _ = list(engine.map_reads(warm))
     t0 = time.perf_counter()
     results = list(engine.map_reads(reads))
     dt = time.perf_counter() - t0
     n_mapped = sum(1 for r in results if r.mapped)
-    return len(reads) / dt, n_mapped / len(reads), dt
+    by_name = {r.name: r for r in ds.reads}
+    n_correct = 0
+    for res in results:
+        if not res.mapped:
+            continue
+        read = by_name[res.read_name]
+        if (
+            read.ref_id >= 0
+            and res.ref_name == ds.seqs[read.ref_id].name
+            and res.rev == read.strand
+        ):
+            lo = res.fragment_start_position
+            hi = lo + res.fragment_length
+            if not (hi < read.ref_start or lo > read.ref_end):
+                n_correct += 1
+    return len(reads) / dt, n_mapped / len(reads), n_correct / len(reads), dt
 
 
-def _tile_mix(rng, n_tiles=2048):
+def _tile_mix(rng, n_tiles=8192):
     pairs = []
     for _ in range(n_tiles):
         al = int(rng.integers(8, 96))
@@ -142,7 +158,9 @@ def main():
 
     backend = jax.default_backend()
     ds, idx, io, mo = build_dataset()
-    reads_per_sec, mapped_frac, map_dt = bench_mapping(ds, idx, mo)
+    reads_per_sec, mapped_frac, correct_frac, map_dt = bench_mapping(
+        ds, idx, mo
+    )
 
     rng = np.random.default_rng(0)
     pairs = _tile_mix(rng)
@@ -163,6 +181,7 @@ def main():
                 "details": {
                     "backend": backend,
                     "mapped_frac": round(mapped_frac, 3),
+                    "correct_frac": round(correct_frac, 3),
                     "mapping_wall_s": round(map_dt, 2),
                     "dtw_device_cells_per_sec": int(dev_cups),
                     "dtw_reference_c_1core_cells_per_sec": (

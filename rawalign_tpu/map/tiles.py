@@ -157,14 +157,37 @@ def dtw_submit(
             large_idx.append(i)
     small_pending = []
     if small_idx:
+        # sub-bucket by the power-of-two size class so mixed batches do
+        # not all pad to the global maximum (and so the set of compiled
+        # kernel shapes stays small and stable)
+        by_class: dict[int, list[int]] = {}
+        for pos, i in enumerate(small_idx):
+            n = max(pairs[i][0].size, pairs[i][1].size)
+            c = 32
+            while c < n:
+                c *= 2
+            by_class.setdefault(c, []).append(pos)
+        order: list[int] = []
+        for c in sorted(by_class):
+            order.extend(by_class[c])
+        # reorder small_idx so results map back positionally
+        small_idx = [small_idx[p] for p in order]
         sub = [pairs[i] for i in small_idx]
-        per_tile = device_max_n * 4 * device_max_n * 4  # rough upper bound
-        t_cap = max(256, memory_budget_bytes // max(per_tile, 1))
-        for s0 in range(0, len(sub), t_cap):
-            chunk = sub[s0 : s0 + t_cap]
-            small_pending.append(
-                (s0, len(chunk), dtw_banded_async(prepare_tiles(chunk)))
-            )
+        s0 = 0
+        for c in sorted(by_class):
+            cnt = len(by_class[c])
+            per_tile = c * 4 * c * 4  # rough upper bound on extract bytes
+            t_cap = max(256, memory_budget_bytes // max(per_tile, 1))
+            for off in range(0, cnt, t_cap):
+                chunk = sub[s0 + off : s0 + off + min(t_cap, cnt - off)]
+                small_pending.append(
+                    (
+                        s0 + off,
+                        len(chunk),
+                        dtw_banded_async(prepare_tiles(chunk)),
+                    )
+                )
+            s0 += cnt
     large_costs = np.zeros(0, np.float32)
     if large_idx:
         from rawalign_tpu import native
