@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def build_dataset(n_reads=384, genome_kb=200):
+def build_dataset(n_reads=256, genome_kb=200):
     from rawalign_tpu import config
     from rawalign_tpu.index import index as dindex
     from rawalign_tpu.testing import synth
@@ -44,9 +44,9 @@ def bench_mapping(ds, idx, mo):
 
     reads = [(r.name, r.signal) for r in ds.reads]
     ds_reads = ds.reads
-    engine = MappingEngine(idx, mo, batch_size=128)
+    engine = MappingEngine(idx, mo, batch_size=64)
     # warmup pass compiles every bucket shape
-    warm = reads[: min(256, len(reads))]
+    warm = reads[: min(128, len(reads))]
     _ = list(engine.map_reads(warm))
     t0 = time.perf_counter()
     results = list(engine.map_reads(reads))
@@ -70,7 +70,7 @@ def bench_mapping(ds, idx, mo):
     return len(reads) / dt, n_mapped / len(reads), n_correct / len(reads), dt
 
 
-def _tile_mix(rng, n_tiles=8192):
+def _tile_mix(rng, n_tiles=4096):
     pairs = []
     for _ in range(n_tiles):
         al = int(rng.integers(8, 96))
