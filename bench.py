@@ -82,12 +82,12 @@ def _tile_mix(rng, n_tiles=4096):
 
 
 def bench_dtw_device(pairs, iters=20):
-    """Device DTW throughput with asynchronously pipelined calls (one
-    host sync for the whole run, as a production mapping server would
-    drive the kernel)."""
+    """Device DTW throughput (fused Pallas kernel) with asynchronously
+    pipelined calls — one host sync for the whole run, as a production
+    mapping server would drive the kernel."""
     import jax
 
-    from rawalign_tpu.map import dtw as ddtw, tiles
+    from rawalign_tpu.map import dtw_pallas, tiles
 
     batch = tiles.prepare_tiles(pairs)
     cells = int(
@@ -99,30 +99,20 @@ def bench_dtw_device(pairs, iters=20):
             )
         )
     )
-    args = dict(
+    args, _corr = tiles.pallas_inputs(batch)
+    kw = dict(
         dpw=batch.dpw,
         max_n=batch.max_n,
+        interpret=jax.default_backend() == "cpu",
     )
-    import jax.numpy as jnp
-
-    dev_in = [
-        jnp.asarray(x)
-        for x in (
-            batch.a2,
-            batch.b2,
-            batch.a_len,
-            batch.b_len,
-            batch.radius,
-            batch.exclude_last,
-            batch.a_last,
-            batch.b_last,
-            batch.d00,
-        )
-    ]
-    out = ddtw.dtw_banded_batch(*dev_in, **args)
+    dev_in = [jax.device_put(x) for x in args]
+    out = dtw_pallas.dtw_banded_batch_pallas(*dev_in, **kw)
     jax.block_until_ready(out)  # compile
     t0 = time.perf_counter()
-    outs = [ddtw.dtw_banded_batch(*dev_in, **args) for _ in range(iters)]
+    outs = [
+        dtw_pallas.dtw_banded_batch_pallas(*dev_in, **kw)
+        for _ in range(iters)
+    ]
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
     return cells / dt, np.asarray(outs[-1])

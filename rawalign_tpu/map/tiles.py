@@ -12,6 +12,7 @@ shape compiles once and is reused.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -20,6 +21,11 @@ from rawalign_tpu.map import dtw as ddtw
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _dtw_impl() -> str:
+    """'pallas' (default: fused on-chip kernel) or 'scan' (XLA scan)."""
+    return os.environ.get("RAWALIGN_TPU_DTW_IMPL", "pallas")
 
 
 @dataclasses.dataclass
@@ -241,6 +247,92 @@ def dtw_banded(batch: TileBatch) -> np.ndarray:
     return np.asarray(dtw_banded_async(batch))[: batch.n_tiles]
 
 
+class _PendingPallas:
+    """Async handle for the fused Pallas DTW kernel: exclude_last is a
+    host-side correction applied when the result is materialized."""
+
+    __slots__ = ("dev", "corr")
+
+    def __init__(self, dev, corr: np.ndarray):
+        self.dev = dev
+        self.corr = corr
+
+    def __array__(self, dtype=None, copy=None):
+        out = np.asarray(self.dev) - self.corr
+        return out if dtype is None else out.astype(dtype)
+
+
+def pallas_inputs(batch: TileBatch, tg: int = 128):
+    """Build the fused-kernel host layout from a TileBatch.
+
+    Tiles are padded to a multiple of the lane-group size; the longer
+    sequence panel is reversed (a2rev[y] = A2[H-1-y]) so the kernel's
+    per-iteration anti-diagonal read is one uniform dynamic sublane
+    slice; the shorter sequence panel is transposed as-is.
+
+    Returns (args, corr): positional arrays for
+    dtw_pallas.dtw_banded_batch_pallas and the per-tile exclude_last
+    correction to subtract from the fetched costs.
+    """
+    T = batch.n_tiles
+    Tp = max(tg, _round_up(T, tg))
+    pad = Tp - T
+
+    def padt(x, fill=0):
+        if pad == 0:
+            return x
+        shape = (pad,) + x.shape[1:]
+        return np.concatenate([x, np.full(shape, fill, x.dtype)], axis=0)
+
+    a2 = padt(batch.a2)
+    b2 = padt(batch.b2)
+    n = padt(batch.a_len, 1).astype(np.int32)
+    m = padt(batch.b_len, 1).astype(np.int32)
+    r = padt(batch.radius, 1).astype(np.int32)
+    n64 = np.maximum(n.astype(np.int64), 1)
+    m64 = m.astype(np.int64)
+    r64 = r.astype(np.int64)
+    R = r64 + ((n64 - m64) * r64 + n64 - 1) // n64  # dtw.cpp:294-300
+    lp = (R + np.where(R % 2 == 0, 1, 0)).astype(np.int32)
+    ls = (R + np.where(R % 2 == 1, 1, 0)).astype(np.int32)
+    d00 = padt(batch.d00)
+    corr = np.where(
+        batch.exclude_last,
+        np.abs(batch.a_last - batch.b_last).astype(np.float32),
+        np.float32(0),
+    )
+    corr = np.concatenate([corr, np.zeros(pad, np.float32)])
+    a2rev = np.ascontiguousarray(a2[:, ::-1].T)
+    b2t = np.ascontiguousarray(b2.T)
+    args = (
+        a2rev,
+        b2t,
+        n[None, :],
+        m[None, :],
+        lp[None, :],
+        ls[None, :],
+        d00[None, :],
+    )
+    return args, corr
+
+
+def _dtw_banded_async_pallas(batch: TileBatch, tg: int = 128):
+    """Dispatch the fused Pallas kernel (rawalign_tpu.map.dtw_pallas)."""
+    import jax
+
+    from rawalign_tpu.map import dtw_pallas
+
+    args, corr = pallas_inputs(batch, tg)
+    dev = dtw_pallas.dtw_banded_batch_pallas(
+        *args,
+        dpw=batch.dpw,
+        max_n=batch.max_n,
+        tg=tg,
+        interpret=jax.default_backend() == "cpu",
+    )
+    return _PendingPallas(dev, corr)
+
+
 def dtw_banded_async(batch: TileBatch):
     """Dispatch the kernel and return the (padded) device array without
     blocking. The tile count is padded to a power-of-two bucket (dummy
@@ -249,6 +341,8 @@ def dtw_banded_async(batch: TileBatch):
     T = batch.n_tiles
     if T == 0:
         return np.zeros(0, dtype=np.float32)
+    if _dtw_impl() == "pallas":
+        return _dtw_banded_async_pallas(batch)
     Tp = 16
     while Tp < T:
         Tp *= 2
