@@ -165,16 +165,36 @@ class MappingEngine:
         self._h_val_id = np.asarray(index.val_id)
         self._h_val_ps = np.asarray(index.val_ps)
 
-        self._chain_dp = jax.jit(
-            functools.partial(
-                dchain.chain_dp_batch,
+        import os
+
+        # the fused kernel on real hardware; the XLA scan on CPU (it is
+        # the bit-equivalent reference — interpret-mode Pallas would run
+        # the grid step-by-step in Python)
+        if (
+            os.environ.get("RAWALIGN_TPU_CHAIN_IMPL", "pallas") == "pallas"
+            and jax.default_backend() != "cpu"
+        ):
+            from rawalign_tpu.map import chain_pallas
+
+            self._chain_dp = functools.partial(
+                chain_pallas.chain_dp_batch_pallas,
                 window=chain_window,
                 e=io.e,
                 max_gap=opt.max_gap_length,
                 max_target_gap=opt.max_target_gap_length,
                 max_skips=opt.max_num_skips,
             )
-        )
+        else:
+            self._chain_dp = jax.jit(
+                functools.partial(
+                    dchain.chain_dp_batch,
+                    window=chain_window,
+                    e=io.e,
+                    max_gap=opt.max_gap_length,
+                    max_target_gap=opt.max_target_gap_length,
+                    max_skips=opt.max_num_skips,
+                )
+            )
         self.counters = {
             "seed_hits_dropped": 0,
             "anchors_dropped": 0,

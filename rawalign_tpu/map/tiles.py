@@ -59,18 +59,13 @@ def prepare_tiles(
     (rmap.cpp:276).
     """
     T = len(pairs)
-    a_list, b_list = [], []
-    for read_r, ref_r, _, _ in pairs:
-        if read_r.size >= ref_r.size:
-            a_list.append(np.asarray(read_r, np.float32))
-            b_list.append(np.asarray(ref_r, np.float32))
-        else:
-            a_list.append(np.asarray(ref_r, np.float32))
-            b_list.append(np.asarray(read_r, np.float32))
-    a_len = np.array([x.size for x in a_list], dtype=np.int32)
-    b_len = np.array([x.size for x in b_list], dtype=np.int32)
-    radius = np.array([p[2] for p in pairs], dtype=np.int32)
-    excl = np.array([p[3] for p in pairs], dtype=bool)
+    sizes_r = np.fromiter((p[0].size for p in pairs), np.int64, T)
+    sizes_f = np.fromiter((p[1].size for p in pairs), np.int64, T)
+    swap = sizes_f > sizes_r
+    a_len = np.where(swap, sizes_f, sizes_r).astype(np.int32)
+    b_len = np.where(swap, sizes_r, sizes_f).astype(np.int32)
+    radius = np.fromiter((p[2] for p in pairs), np.int32, T)
+    excl = np.fromiter((p[3] for p in pairs), bool, T)
 
     n64 = np.maximum(a_len.astype(np.int64), 1)
     m64 = b_len.astype(np.int64)
@@ -92,26 +87,55 @@ def prepare_tiles(
     max_n = _pow2_at_least(int(a_len.max(initial=1)), 32)
     lb2 = _pow2_at_least(int((m64 + half_lp + 1 + dpw).max(initial=1)), 32)
 
+    # flat value pools + one vectorized scatter per panel (a Python loop
+    # over tens of thousands of tiny tiles dominated mapping wall time)
+    a_flat = (
+        np.concatenate(
+            [np.asarray(p[1] if sw else p[0], np.float32) for p, sw in zip(pairs, swap)]
+        )
+        if T
+        else np.zeros(0, np.float32)
+    )
+    b_flat = (
+        np.concatenate(
+            [np.asarray(p[0] if sw else p[1], np.float32) for p, sw in zip(pairs, swap)]
+        )
+        if T
+        else np.zeros(0, np.float32)
+    )
+    al64 = a_len.astype(np.int64)
+    bl64 = b_len.astype(np.int64)
+    a_starts = np.concatenate([[0], np.cumsum(al64)[:-1]])
+    b_starts = np.concatenate([[0], np.cumsum(bl64)[:-1]])
+    rows_a = np.repeat(np.arange(T, dtype=np.int64), al64)
+    intra_a = np.arange(a_flat.size, dtype=np.int64) - np.repeat(a_starts, al64)
+    rows_b = np.repeat(np.arange(T, dtype=np.int64), bl64)
+    intra_b = np.arange(b_flat.size, dtype=np.int64) - np.repeat(b_starts, bl64)
+
     a2 = np.zeros((T, max_n + dpw), dtype=np.float32)
     b2 = np.zeros((T, lb2), dtype=np.float32)
+    # A2[t, x] = a[t, x - (dpw-1) + half_lp[t]]; offsets always in-range
+    # by construction (dpw >= R+3 > half_lp; widths sized to fit)
+    off_a = (dpw - 1) - half_lp
+    a2[rows_a, np.repeat(off_a, al64) + intra_a] = a_flat
+    # B2[t, x] = b[t, x - half_lp[t] - 1]
+    b2[rows_b, np.repeat(half_lp + 1, bl64) + intra_b] = b_flat
+
     a_last = np.zeros(T, dtype=np.float32)
     b_last = np.zeros(T, dtype=np.float32)
     d00 = np.zeros(T, dtype=np.float32)
-    for t, (av, bv) in enumerate(zip(a_list, b_list)):
-        # A2[t, x] = a[t, x - (dpw-1) + half_lp[t]]
-        off_a = (dpw - 1) - int(half_lp[t])
-        lo = max(0, off_a)
-        hi = min(a2.shape[1], off_a + av.size)
-        if hi > lo:
-            a2[t, lo:hi] = av[lo - off_a : hi - off_a]
-        # B2[t, x] = b[t, x - half_lp[t] - 1]
-        off_b = int(half_lp[t]) + 1
-        hi_b = min(b2.shape[1], off_b + bv.size)
-        b2[t, off_b:hi_b] = bv[: hi_b - off_b]
-        if av.size and bv.size:
-            a_last[t] = av[-1]
-            b_last[t] = bv[-1]
-            d00[t] = np.float32(abs(np.float32(av[0]) - np.float32(bv[0])))
+    ok = (al64 > 0) & (bl64 > 0)
+    if T and a_flat.size and b_flat.size:
+        a_first = np.where(ok, a_flat[np.minimum(a_starts, a_flat.size - 1)], 0)
+        b_first = np.where(ok, b_flat[np.minimum(b_starts, b_flat.size - 1)], 0)
+        a_last = np.where(
+            ok, a_flat[np.minimum(a_starts + al64 - 1, a_flat.size - 1)], 0
+        ).astype(np.float32)
+        b_last = np.where(
+            ok, b_flat[np.minimum(b_starts + bl64 - 1, b_flat.size - 1)], 0
+        ).astype(np.float32)
+        d00 = np.abs(a_first - b_first).astype(np.float32)
+        d00[~ok] = 0.0
     return TileBatch(
         a2=a2,
         b2=b2,
@@ -196,21 +220,30 @@ def dtw_submit(
             s0 += cnt
     large_costs = np.zeros(0, np.float32)
     if large_idx:
-        from rawalign_tpu import native
+        # run the native large-tile batch on a worker thread so it
+        # overlaps the in-flight device chunks (joined in dtw_collect)
+        import concurrent.futures
 
         sub = [pairs[i] for i in large_idx]
-        if native.available():
-            large_costs = native.dtw_banded_batch(sub)
-        else:
+
+        def _run_large():
+            from rawalign_tpu import native
+
+            if native.available():
+                return native.dtw_banded_batch(sub)
             from rawalign_tpu.golden import dtw as gdtw
 
-            large_costs = np.array(
+            return np.array(
                 [
                     gdtw.dtw_global_slantedbanded_antidiagonalwise(a, b, r, x)
                     for a, b, r, x in sub
                 ],
                 dtype=np.float32,
             )
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        large_costs = pool.submit(_run_large)
+        pool.shutdown(wait=False)
     return PendingDtw(
         n=len(pairs),
         small_idx=small_idx,
@@ -229,7 +262,10 @@ def dtw_collect(pending: PendingDtw) -> np.ndarray:
             costs[s0 : s0 + ln] = np.asarray(dev)[:ln]
         out[pending.small_idx] = costs
     if pending.large_idx:
-        out[pending.large_idx] = pending.large_costs
+        lc = pending.large_costs
+        if hasattr(lc, "result"):  # concurrent.futures.Future
+            lc = lc.result()
+        out[pending.large_idx] = lc
     return out
 
 
@@ -273,9 +309,15 @@ def pallas_inputs(batch: TileBatch, tg: int = 128):
     Returns (args, corr): positional arrays for
     dtw_pallas.dtw_banded_batch_pallas and the per-tile exclude_last
     correction to subtract from the fetched costs.
+
+    The tile axis is padded to a power-of-two multiple of the lane
+    group so the set of compiled grids stays small and stable (every
+    distinct grid is a separate ~seconds-long remote compile).
     """
     T = batch.n_tiles
-    Tp = max(tg, _round_up(T, tg))
+    Tp = tg
+    while Tp < T:
+        Tp *= 2
     pad = Tp - T
 
     def padt(x, fill=0):
