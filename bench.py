@@ -45,9 +45,10 @@ def bench_mapping(ds, idx, mo):
     reads = [(r.name, r.signal) for r in ds.reads]
     ds_reads = ds.reads
     engine = MappingEngine(idx, mo, batch_size=64)
-    # warmup pass compiles every bucket shape
-    warm = reads[: min(128, len(reads))]
-    _ = list(engine.map_reads(warm))
+    # warmup pass over the FULL read set: compiles every bucket shape
+    # the measured pass will hit (a partial warmup leaves multi-second
+    # remote compiles inside the measurement)
+    _ = list(engine.map_reads(reads))
     t0 = time.perf_counter()
     results = list(engine.map_reads(reads))
     dt = time.perf_counter() - t0
@@ -84,38 +85,48 @@ def _tile_mix(rng, n_tiles=4096):
 def bench_dtw_device(pairs, iters=20):
     """Device DTW throughput (fused Pallas kernel) with asynchronously
     pipelined calls — one host sync for the whole run, as a production
-    mapping server would drive the kernel."""
+    mapping server would drive the kernel. Tiles are staged per size
+    class exactly as the production dispatch (tiles.dtw_submit) buckets
+    them."""
     import jax
 
     from rawalign_tpu.map import dtw_pallas, tiles
 
-    batch = tiles.prepare_tiles(pairs)
-    cells = int(
-        np.sum(
-            batch.a_len.astype(np.int64)
-            * np.minimum(
-                2 * batch.radius.astype(np.int64) + 1,
-                batch.b_len.astype(np.int64),
+    interpret = jax.default_backend() == "cpu"
+    by_class = {}
+    for p in pairs:
+        n = max(p[0].size, p[1].size)
+        c = max(32, ((n + 31) // 32) * 32)
+        by_class.setdefault(c, []).append(p)
+    flat = []
+    metas = []
+    cells = 0
+    for c in sorted(by_class):
+        batch = tiles.prepare_tiles(by_class[c])
+        cells += int(
+            np.sum(
+                batch.a_len.astype(np.int64)
+                * np.minimum(
+                    2 * batch.radius.astype(np.int64) + 1,
+                    batch.b_len.astype(np.int64),
+                )
             )
         )
-    )
-    args, _corr = tiles.pallas_inputs(batch)
-    kw = dict(
-        dpw=batch.dpw,
-        max_n=batch.max_n,
-        interpret=jax.default_backend() == "cpu",
-    )
-    dev_in = [jax.device_put(x) for x in args]
-    out = dtw_pallas.dtw_banded_batch_pallas(*dev_in, **kw)
-    jax.block_until_ready(out)  # compile
+        args, _corr = tiles.pallas_inputs(batch)
+        flat.extend(jax.device_put(x) for x in args)
+        metas.append((batch.dpw, batch.max_n))
+    flat = tuple(flat)
+    metas = tuple(metas)
+    outs = dtw_pallas.dtw_banded_multi(flat, metas=metas, interpret=interpret)
+    jax.block_until_ready(outs)  # compile
     t0 = time.perf_counter()
-    outs = [
-        dtw_pallas.dtw_banded_batch_pallas(*dev_in, **kw)
-        for _ in range(iters)
-    ]
+    for _ in range(iters):
+        outs = dtw_pallas.dtw_banded_multi(
+            flat, metas=metas, interpret=interpret
+        )
     jax.block_until_ready(outs)
     dt = (time.perf_counter() - t0) / iters
-    return cells / dt, np.asarray(outs[-1])
+    return cells / dt, np.concatenate([np.asarray(o) for o in outs])
 
 
 def bench_dtw_reference_cpu(pairs, budget_s=6.0):

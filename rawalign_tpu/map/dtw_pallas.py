@@ -199,10 +199,7 @@ def _kernel(
         )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("dpw", "max_n", "tg", "interpret")
-)
-def dtw_banded_batch_pallas(
+def _dtw_call(
     a2rev: jax.Array,  # (H, T) f32, H = max_n + dpw; a2rev[y,t] = A2[t,H-1-y]
     b2t: jax.Array,  # (LB2, T) f32
     n: jax.Array,  # (1, T) i32 true a lengths
@@ -252,3 +249,38 @@ def dtw_banded_batch_pallas(
         interpret=interpret,
     )(a2rev, b2t, n, m, lp, ls, d00)
     return out[0]
+
+
+dtw_banded_batch_pallas = functools.partial(
+    jax.jit(
+        _dtw_call, static_argnames=("dpw", "max_n", "tg", "interpret")
+    ),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("metas", "tg", "interpret"))
+def dtw_banded_multi(
+    flat_args: tuple,  # 7 arrays per class batch, concatenated
+    *,
+    metas: tuple,  # ((dpw, max_n), ...) per class batch
+    tg: int = 128,
+    interpret: bool = False,
+) -> tuple:
+    """Run the fused kernel for several shape-class batches in ONE jit
+    dispatch. Per-call dispatch over the tunneled device costs ~1 ms —
+    more than the device time of a whole class batch — so a mapping
+    round submits all its class batches through this single entry."""
+    outs = []
+    i = 0
+    for dpw, max_n in metas:
+        outs.append(
+            _dtw_call(
+                *flat_args[i : i + 7],
+                dpw=dpw,
+                max_n=max_n,
+                tg=tg,
+                interpret=interpret,
+            )
+        )
+        i += 7
+    return tuple(outs)

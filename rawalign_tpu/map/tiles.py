@@ -74,18 +74,15 @@ def prepare_tiles(
     lp = R + np.where(R % 2 == 0, 1, 0)
     half_lp = (lp // 2).astype(np.int64)
 
-    def _pow2_at_least(x: int, floor: int) -> int:
-        p = floor
-        while p < x:
-            p *= 2
-        return p
-
-    # power-of-two shape buckets keep the set of compiled kernel variants
-    # small (each distinct (dpw, max_n, T) bucket compiles once and is
-    # reused via the persistent compilation cache)
-    dpw = _pow2_at_least(int(R.max(initial=1)) + 3, 16)
-    max_n = _pow2_at_least(int(a_len.max(initial=1)), 32)
-    lb2 = _pow2_at_least(int((m64 + half_lp + 1 + dpw).max(initial=1)), 32)
+    # quantized shape buckets keep the set of compiled kernel variants
+    # small (each distinct (dpw, max_n, lb2, T) bucket compiles once and
+    # is reused via the persistent compilation cache); multiples of the
+    # hardware tile sizes rather than powers of two: grid length and
+    # sublane counts need no pow2 alignment, and tighter buckets waste
+    # far fewer padded cells
+    dpw = max(16, _round_up(int(R.max(initial=1)) + 3, 8))
+    max_n = _round_up(int(a_len.max(initial=1)), 32)
+    lb2 = _round_up(int((m64 + half_lp + 1 + dpw).max(initial=1)), 32)
 
     # flat value pools + one vectorized scatter per panel (a Python loop
     # over tens of thousands of tiny tiles dominated mapping wall time)
@@ -187,15 +184,13 @@ def dtw_submit(
             large_idx.append(i)
     small_pending = []
     if small_idx:
-        # sub-bucket by the power-of-two size class so mixed batches do
-        # not all pad to the global maximum (and so the set of compiled
+        # sub-bucket by 32-quantized size class so mixed batches do not
+        # all pad to the global maximum (and so the set of compiled
         # kernel shapes stays small and stable)
         by_class: dict[int, list[int]] = {}
         for pos, i in enumerate(small_idx):
             n = max(pairs[i][0].size, pairs[i][1].size)
-            c = 32
-            while c < n:
-                c *= 2
+            c = max(32, _round_up(n, 32))
             by_class.setdefault(c, []).append(pos)
         order: list[int] = []
         for c in sorted(by_class):
@@ -203,21 +198,47 @@ def dtw_submit(
         # reorder small_idx so results map back positionally
         small_idx = [small_idx[p] for p in order]
         sub = [pairs[i] for i in small_idx]
+        chunk_descs: list[tuple[int, list]] = []
         s0 = 0
         for c in sorted(by_class):
             cnt = len(by_class[c])
-            per_tile = c * 4 * c * 4  # rough upper bound on extract bytes
+            per_tile = c * 4 * c * 4  # rough upper bound on panel bytes
             t_cap = max(256, memory_budget_bytes // max(per_tile, 1))
             for off in range(0, cnt, t_cap):
                 chunk = sub[s0 + off : s0 + off + min(t_cap, cnt - off)]
-                small_pending.append(
-                    (
-                        s0 + off,
-                        len(chunk),
-                        dtw_banded_async(prepare_tiles(chunk)),
-                    )
-                )
+                chunk_descs.append((s0 + off, chunk))
             s0 += cnt
+        if _dtw_impl() == "pallas":
+            # ONE jit dispatch for all class batches: per-call dispatch
+            # over the tunneled device costs ~1 ms, more than the device
+            # time of an entire class batch
+            import jax
+
+            from rawalign_tpu.map import dtw_pallas
+
+            flat: list[np.ndarray] = []
+            metas: list[tuple[int, int]] = []
+            corrs: list[np.ndarray] = []
+            for _, chunk in chunk_descs:
+                batch = prepare_tiles(chunk)
+                args, corr = pallas_inputs(batch)
+                flat.extend(args)
+                metas.append((batch.dpw, batch.max_n))
+                corrs.append(corr)
+            outs = dtw_pallas.dtw_banded_multi(
+                tuple(flat),
+                metas=tuple(metas),
+                interpret=jax.default_backend() == "cpu",
+            )
+            small_pending = [
+                (s0c, len(chunk), _PendingPallas(outs[k], corrs[k]))
+                for k, (s0c, chunk) in enumerate(chunk_descs)
+            ]
+        else:
+            small_pending = [
+                (s0c, len(chunk), dtw_banded_async(prepare_tiles(chunk)))
+                for s0c, chunk in chunk_descs
+            ]
     large_costs = np.zeros(0, np.float32)
     if large_idx:
         # run the native large-tile batch on a worker thread so it
