@@ -58,7 +58,6 @@ class _ReadState:
         "offset",
         "chains",
         "done",
-        "t_start",
         "map_time",
     )
 
@@ -72,7 +71,10 @@ class _ReadState:
         self.offset = 0
         self.chains: list[gchain.Chain] = []
         self.done = False
-        self.t_start = time.perf_counter()
+        # accumulated wall time of the mapping rounds this read was live
+        # in — the analog of the reference's per-read chunk-loop timer
+        # (rmap.cpp:684-694), excluding ingest-queue wait and the other
+        # pipeline groups' rounds
         self.map_time = 0.0
 
 
@@ -244,7 +246,6 @@ class MappingEngine:
                             or st.chunk_ptr >= st.qlen
                             or st.chunks_done >= self.opt.max_num_chunk
                         ):
-                            st.map_time = time.perf_counter() - st.t_start
                             yield self._emit(st)
                         else:
                             still.append(st)
@@ -273,7 +274,13 @@ class MappingEngine:
         opt = self.opt
         pt = self.phase_times
         pt["rounds"] += 1
-        t_mark = time.perf_counter()
+        t_round0 = time.perf_counter()
+        t_mark = t_round0
+
+        def charge_round():
+            dt = time.perf_counter() - t_round0
+            for st in slots:
+                st.map_time += dt
 
         def mark(phase):
             nonlocal t_mark
@@ -377,6 +384,7 @@ class MappingEngine:
                 st.chunk_ptr += L
                 st.chunks_done += 1
             mark("finalize")
+            charge_round()
             return
 
         # chain DP on device, anchor axis bucketed to powers of two
@@ -468,6 +476,7 @@ class MappingEngine:
             if self._decision(st):
                 st.done = True
         mark("finalize")
+        charge_round()
 
     # ------------------------------------------------------------------
     def _decision(self, st: _ReadState) -> bool:
