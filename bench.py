@@ -159,13 +159,22 @@ def main():
 
     backend = jax.default_backend()
     ds, idx, io, mo = build_dataset()
+
+    # Measure the DTW kernel FIRST: the tunneled device runtime (axon)
+    # permanently degrades per-operation latency (~0.03 ms -> ~1 ms per
+    # launch) after a few hundred host<->device transfers, so a kernel
+    # microbenchmark taken after the end-to-end mapping pass measures
+    # tunnel overhead, not the kernel (26x understated when measured
+    # after bench_mapping). On non-tunneled TPU hardware the ordering
+    # does not matter.
+    rng = np.random.default_rng(0)
+    pairs = _tile_mix(rng)
+    dev_cups, _ = bench_dtw_device(pairs)
+
     reads_per_sec, mapped_frac, correct_frac, map_dt = bench_mapping(
         ds, idx, mo
     )
 
-    rng = np.random.default_rng(0)
-    pairs = _tile_mix(rng)
-    dev_cups, _ = bench_dtw_device(pairs)
     ref_cups = bench_dtw_reference_cpu(pairs)
     if ref_cups:
         vs_baseline = dev_cups / (32.0 * ref_cups)

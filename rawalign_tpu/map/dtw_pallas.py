@@ -258,6 +258,98 @@ dtw_banded_batch_pallas = functools.partial(
 )
 
 
+def _panels_from_descs(src, d, *, dpw: int, max_n: int, lb2: int):
+    """Build the kernel's pre-shifted panels ON DEVICE from a flat value
+    pool ``src`` and per-tile int32 descriptors ``d`` of shape (9, T):
+    rows a_base, off_a, n, b_base, off_b, m, lp, ls, excl.
+
+    Replaces the host-built value panels: the tunneled device's uplink
+    runs ~84 MB/s with ~30 ms per transfer, so uploading ~12 MB of tile
+    panels per mapping round dominated the DTW phase; descriptors are
+    ~100 KB and the reference/event value pools are already resident."""
+    a_base, off_a, n, b_base, off_b, m, lp, ls, excl = (
+        d[i] for i in range(9)
+    )
+    H = max_n + dpw
+    S = src.shape[0]
+    ya = (H - 1) - jax.lax.iota(jnp.int32, H)[:, None]  # A2 column index
+    rel_a = ya - off_a[None, :]
+    aidx = jnp.clip(a_base[None, :] + rel_a, 0, S - 1)
+    a2rev = jnp.where(
+        (rel_a >= 0) & (rel_a < n[None, :]), jnp.take(src, aidx, axis=0), 0.0
+    )
+    xb = jax.lax.iota(jnp.int32, lb2)[:, None]
+    rel_b = xb - off_b[None, :]
+    bidx = jnp.clip(b_base[None, :] + rel_b, 0, S - 1)
+    b2t = jnp.where(
+        (rel_b >= 0) & (rel_b < m[None, :]), jnp.take(src, bidx, axis=0), 0.0
+    )
+    ok = (n > 0) & (m > 0)
+    d00 = jnp.where(
+        ok,
+        jnp.abs(
+            jnp.take(src, jnp.clip(a_base, 0, S - 1))
+            - jnp.take(src, jnp.clip(b_base, 0, S - 1))
+        ),
+        0.0,
+    )
+    corr = jnp.where(
+        (excl != 0) & ok,
+        jnp.abs(
+            jnp.take(src, jnp.clip(a_base + n - 1, 0, S - 1))
+            - jnp.take(src, jnp.clip(b_base + m - 1, 0, S - 1))
+        ),
+        0.0,
+    )
+    args = (
+        a2rev,
+        b2t,
+        n[None, :],
+        m[None, :],
+        lp[None, :],
+        ls[None, :],
+        d00[None, :].astype(jnp.float32),
+    )
+    return args, corr.astype(jnp.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metas", "lev", "tg", "interpret")
+)
+def dtw_banded_multi_indexed(
+    ref_cat: jax.Array,  # (Lref,) f32 resident reference value pool
+    blob: jax.Array,  # (lev + 9*sum(Tp),) f32: [event pool | bitcast descs]
+    *,
+    metas: tuple,  # ((dpw, max_n, lb2, Tp), ...) per class batch
+    lev: int,
+    tg: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Indexed variant of dtw_banded_multi: ONE dispatch per round, ONE
+    host->device transfer (the round's event pool and the per-tile int32
+    descriptors bitcast into a single f32 blob) and ONE device->host
+    result array (all class batches' costs concatenated) — the tunneled
+    device runtime serializes transfers at ~30-190 ms each regardless of
+    size. Panels are gathered device-side from [ref_cat | event pool]
+    (event bases pre-offset by len(ref_cat) on the host); the
+    exclude_last correction is applied on device."""
+    src = jnp.concatenate([ref_cat, blob[:lev]])
+    ints = jax.lax.bitcast_convert_type(blob[lev:], jnp.int32)
+    outs = []
+    off = 0
+    for dpw, max_n, lb2, tp in metas:
+        d = jax.lax.dynamic_slice_in_dim(ints, off, 9 * tp).reshape(9, tp)
+        off += 9 * tp
+        args, corr = _panels_from_descs(
+            src, d, dpw=dpw, max_n=max_n, lb2=lb2
+        )
+        cost = _dtw_call(
+            *args, dpw=dpw, max_n=max_n, tg=tg, interpret=interpret
+        )
+        outs.append(cost - corr)
+    return jnp.concatenate(outs)
+
+
 @functools.partial(jax.jit, static_argnames=("metas", "tg", "interpret"))
 def dtw_banded_multi(
     flat_args: tuple,  # 7 arrays per class batch, concatenated

@@ -108,17 +108,41 @@ class MappingEngine:
         self._val_id = jnp.asarray(index.val_id)
         self._val_ps = jnp.asarray(index.val_ps)
         self._signals = index.signals  # host {strand: [per-seq float32]}
+        # resident flat reference-signal pool + per-(strand, seq) bases
+        # for the indexed DTW dispatch (only tile descriptors cross the
+        # host->device link; see tiles.dtw_submit_indexed)
+        self._sig_base: dict[tuple[int, int], int] = {}
+        parts = []
+        off = 0
+        for strand in (0, 1):
+            for si, sig in enumerate(index.signals[strand]):
+                self._sig_base[(strand, si)] = off
+                arr = np.asarray(sig, np.float32)
+                parts.append(arr)
+                off += arr.size
+        self._ref_cat_host = (
+            np.concatenate(parts) if parts else np.zeros(0, np.float32)
+        )
+        self._ref_cat_dev = jax.device_put(self._ref_cat_host)
         io = index.opt
         ne = opt.max_events_per_chunk
         SENT = np.int32(0x7FFFFFFF)
         self._SENT = SENT
 
         @jax.jit
-        def _stage1(keys, chunks, lengths):
+        def _stage1(keys, packed_in):
             """Events + sketch + index lookup BOUNDS. Hit expansion and
             the anchor sort run on the HOST: the device's sort machinery
             measured ~10M elem/s and per-element gathers ~90M elem/s,
-            while the real hit lists are tiny (hundreds per read)."""
+            while the real hit lists are tiny (hundreds per read).
+
+            One packed f32 array each way: the tunneled device runtime
+            serializes transfers at ~30-190 ms EACH regardless of size,
+            so the 2-in/7-out layout cost ~9 round trips per call; the
+            packed layout costs 2 (int outputs are bitcast into the f32
+            payload and viewed back on the host)."""
+            chunks = packed_in[:, :-1]
+            lengths = packed_in[:, -1].astype(jnp.int32)
             ev = devents.detect_events_batch(
                 chunks,
                 lengths,
@@ -150,19 +174,29 @@ class MappingEngine:
                 jnp.where(seeds.valid & over, count, 0), axis=1
             ).astype(jnp.int32)
             count = jnp.where(seeds.valid & ~over, count, 0)
-            return (
-                ev.values,
-                ev.n_events,
-                ev.n_dropped,
-                n_occ_dropped,
-                lo.astype(jnp.int32),
-                count,
-                seeds.qpos,
+            bc = lambda x: jax.lax.bitcast_convert_type(
+                x.astype(jnp.int32), jnp.float32
+            )
+            scalars = jnp.stack(
+                [
+                    ev.n_events.astype(jnp.int32),
+                    ev.n_dropped.astype(jnp.int32),
+                    n_occ_dropped,
+                ],
+                axis=1,
+            )
+            return jnp.concatenate(
+                [
+                    ev.values,
+                    bc(lo.astype(jnp.int32)),
+                    bc(count),
+                    bc(seeds.qpos.astype(jnp.int32)),
+                    bc(scalars),
+                ],
+                axis=1,
             )
 
-        self._stage1 = lambda chunks, lengths: _stage1(
-            self._keys, chunks, lengths
-        )
+        self._stage1 = lambda packed_in: _stage1(self._keys, packed_in)
         # host copies for hit expansion
         self._h_val_id = np.asarray(index.val_id)
         self._h_val_ps = np.asarray(index.val_ps)
@@ -178,7 +212,7 @@ class MappingEngine:
         ):
             from rawalign_tpu.map import chain_pallas
 
-            self._chain_dp = functools.partial(
+            chain_fn = functools.partial(
                 chain_pallas.chain_dp_batch_pallas,
                 window=chain_window,
                 e=io.e,
@@ -187,16 +221,38 @@ class MappingEngine:
                 max_skips=opt.max_num_skips,
             )
         else:
-            self._chain_dp = jax.jit(
-                functools.partial(
-                    dchain.chain_dp_batch,
-                    window=chain_window,
-                    e=io.e,
-                    max_gap=opt.max_gap_length,
-                    max_target_gap=opt.max_target_gap_length,
-                    max_skips=opt.max_num_skips,
-                )
+            chain_fn = functools.partial(
+                dchain.chain_dp_batch,
+                window=chain_window,
+                e=io.e,
+                max_gap=opt.max_gap_length,
+                max_target_gap=opt.max_target_gap_length,
+                max_skips=opt.max_num_skips,
             )
+
+        @jax.jit
+        def _chain_packed(packed):
+            # one int32 array in ([seg | tgt | qry | n], (B, 3A+1)), one
+            # f32 array out ([scores | bitcast preds], (B, 2A)): see the
+            # transfer-cost note on _stage1
+            A = (packed.shape[1] - 1) // 3
+            dp = chain_fn(
+                packed[:, :A],
+                packed[:, A : 2 * A],
+                packed[:, 2 * A : 3 * A],
+                packed[:, 3 * A],
+            )
+            return jnp.concatenate(
+                [
+                    dp.scores.astype(jnp.float32),
+                    jax.lax.bitcast_convert_type(
+                        dp.preds.astype(jnp.int32), jnp.float32
+                    ),
+                ],
+                axis=1,
+            )
+
+        self._chain_dp = _chain_packed
         self.counters = {
             "seed_hits_dropped": 0,
             "anchors_dropped": 0,
@@ -292,25 +348,26 @@ class MappingEngine:
         B = self.batch_size
         L = opt.chunk_size
         SENT = self._SENT
-        chunks = np.zeros((B, L), dtype=np.float32)
-        lengths = np.zeros(B, dtype=np.int32)
+        packed_in = np.zeros((B, L + 1), dtype=np.float32)
         for i, st in enumerate(slots):
             part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
-            chunks[i, : part.size] = part
-            lengths[i] = part.size
+            packed_in[i, : part.size] = part
+            packed_in[i, L] = part.size
         mark("build_inputs")
 
-        stage1_fut = self._stage1(chunks, lengths)  # async dispatch
+        stage1_fut = self._stage1(packed_in)  # async dispatch
         yield  # other groups' host work overlaps this device work
-        (
-            ev_values,
-            ev_counts,
-            ev_dropped,
-            hit_dropped,
-            h_lo,
-            h_count,
-            h_qpos,
-        ) = jax.device_get(stage1_fut)
+        packed = jax.device_get(stage1_fut)
+        pi = packed.view(np.int32)
+        ne = opt.max_events_per_chunk
+        NS = (packed.shape[1] - ne - 3) // 3
+        ev_values = packed[:, :ne]
+        h_lo = pi[:, ne : ne + NS]
+        h_count = pi[:, ne + NS : ne + 2 * NS]
+        h_qpos = pi[:, ne + 2 * NS : ne + 3 * NS]
+        ev_counts = pi[:, -3]
+        ev_dropped = pi[:, -2]
+        hit_dropped = pi[:, -1]
         mark("stage_chain")
         self.counters["events_dropped"] += int(ev_dropped.sum())
         self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
@@ -392,21 +449,19 @@ class MappingEngine:
         while a_round < max_used:
             a_round *= 2
         a_round = min(a_round, A)
-        dp_fut = self._chain_dp(
-            seg_b[:, :a_round],
-            tgt_b[:, :a_round],
-            qry_b[:, :a_round],
-            n_anch,
-        )
+        packed_c = np.empty((B, 3 * a_round + 1), dtype=np.int32)
+        packed_c[:, :a_round] = seg_b[:, :a_round]
+        packed_c[:, a_round : 2 * a_round] = tgt_b[:, :a_round]
+        packed_c[:, 2 * a_round : 3 * a_round] = qry_b[:, :a_round]
+        packed_c[:, 3 * a_round] = n_anch
+        dp_fut = self._chain_dp(packed_c)
         yield
-        dp = jax.device_get(dp_fut)
-        scores = np.asarray(dp.scores)
-        preds = np.asarray(dp.preds)
+        dp_out = jax.device_get(dp_fut)
+        scores = dp_out[:, :a_round]
+        preds = dp_out.view(np.int32)[:, a_round:]
         mark("chain_dp")
 
         # host traceback + DTW + decisions
-        all_tiles: list[tuple[np.ndarray, np.ndarray, int, bool]] = []
-        tile_owner: list[tuple[int, int]] = []
         per_read_chains: dict[int, list[gchain.Chain]] = {}
         use_dtw = bool(
             opt.flag
@@ -421,32 +476,61 @@ class MappingEngine:
             )
             if use_dtw:
                 chains.sort(key=lambda c: c.chaining_score, reverse=True)
+            per_read_chains[i] = chains
+
+        all_descs: list[tuple[int, int, int, int, int, int]] = []
+        tile_owner: list[tuple[int, int]] = []
+        ev_parts: list[np.ndarray] = []
+        ev_off = 0
+        Lref = self._ref_cat_host.size
+        if use_dtw:
+            for i in list(per_read_chains):
+                chains = per_read_chains[i]
+                if not chains:
+                    continue
                 # events grow before chaining in this batched engine, so
                 # the read's full event array is already current here
-                ev_arr = st.events
+                st = slots[i]
+                ev_base = Lref + ev_off
+                ev_parts.append(st.events)
+                ev_off += st.events.size
                 for ci, ch in enumerate(chains):
-                    ref_ev = self._signals[ch.strand][
-                        ch.reference_sequence_index
+                    ref_base = self._sig_base[
+                        (ch.strand, ch.reference_sequence_index)
                     ]
-                    ts = postprocess.build_chain_tiles(ch, ref_ev, ev_arr, opt)
-                    for t in ts:
-                        all_tiles.append(t)
-                        tile_owner.append((i, ci))
-            per_read_chains[i] = chains
+                    rows = postprocess.build_chain_tile_descs(
+                        ch, ref_base, ev_base, opt
+                    )
+                    all_descs.extend(rows)
+                    tile_owner.extend((i, ci) for _ in rows)
         mark("traceback")
 
-        if use_dtw and all_tiles:
-            pending = tiles.dtw_submit(all_tiles)
+        if use_dtw and all_descs:
+            da = np.asarray(all_descs, dtype=np.int64)
+            ev_cat = (
+                np.concatenate(ev_parts)
+                if ev_parts
+                else np.zeros(0, np.float32)
+            )
+            pending = tiles.dtw_submit_indexed(
+                da[:, 0].astype(np.int32),
+                da[:, 1].astype(np.int32),
+                da[:, 2].astype(np.int32),
+                da[:, 3].astype(np.int32),
+                da[:, 4].astype(np.int32),
+                da[:, 5].astype(np.int32),
+                self._ref_cat_dev,
+                ev_cat,
+                self._ref_cat_host,
+            )
             mark("dtw_prep")
             yield
             costs = tiles.dtw_collect(pending)
             mark("dtw")
-            self.counters["dtw_tiles"] += len(all_tiles)
+            self.counters["dtw_tiles"] += len(all_descs)
             self.counters["dtw_cells"] += int(
-                sum(
-                    max(ra.size, rb.size)
-                    * min(2 * r + 1, min(ra.size, rb.size))
-                    for ra, rb, r, _ in all_tiles
+                np.sum(
+                    da[:, 1] * np.minimum(2 * da[:, 4] + 1, da[:, 3])
                 )
             )
             cost_map: dict[tuple[int, int], list[float]] = {}

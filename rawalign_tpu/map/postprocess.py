@@ -142,6 +142,51 @@ def build_chain_tiles(
     return tiles
 
 
+def build_chain_tile_descs(
+    chain: Chain, ref_base: int, ev_base: int, opt: MappingOptions
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Descriptor form of build_chain_tiles for the indexed device
+    dispatch: per tile (a_base, a_len, b_base, b_len, radius, excl) with
+    the a side already the LONGER sequence (dtw.cpp:283-292) and bases
+    absolute indices into the combined [ref_cat | ev_cat] value pool.
+    The band radius comes from the READ region length before swapping
+    (rmap.cpp:276)."""
+    rows = []
+
+    def add(t0, q0, t1, q1, excl):
+        ql = q1 - q0 + 1
+        tl = t1 - t0 + 1
+        radius = _radius(ql, opt)
+        if tl > ql:
+            rows.append(
+                (ref_base + t0, tl, ev_base + q0, ql, radius, int(excl))
+            )
+        else:
+            rows.append(
+                (ev_base + q0, ql, ref_base + t0, tl, radius, int(excl))
+            )
+
+    if opt.dtw_border_constraint == BorderConstraint.GLOBAL:
+        sa = chain.anchors[chain.n_anchors - 1]
+        ea = chain.anchors[0]
+        add(int(sa[0]), int(sa[1]), int(ea[0]), int(ea[1]), 0)
+    elif opt.dtw_border_constraint == BorderConstraint.SPARSE:
+        parts = chain.n_anchors - 1
+        for part in range(parts):
+            sa = chain.anchors[parts - part]
+            ea = chain.anchors[parts - part - 1]
+            add(
+                int(sa[0]),
+                int(sa[1]),
+                int(ea[0]),
+                int(ea[1]),
+                part != parts - 1,
+            )
+    else:
+        raise ValueError("invalid border constraint")
+    return rows
+
+
 def _radius(read_size: int, opt: MappingOptions) -> int:
     if opt.dtw_fill_method == FillMethod.FULL:
         # cover the whole matrix: the slanted band with radius >= |b|

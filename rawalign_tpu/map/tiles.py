@@ -155,6 +155,8 @@ class PendingDtw:
     small_pending: list  # (s0, len, device_array)
     large_idx: list
     large_costs: np.ndarray
+    packed: object = None  # single device array (indexed dispatch)
+    packed_chunks: tuple = ()  # (s0, len, offset) into packed
 
 
 def dtw_submit(
@@ -274,11 +276,185 @@ def dtw_submit(
     )
 
 
+def _desc_array(
+    a_base, a_len, b_base, b_len, radius, excl, *, dpw: int, tg: int = 128
+) -> np.ndarray:
+    """Build the (9, Tp) int32 descriptor array for one class batch.
+    Rows: a_base, off_a, n, b_base, off_b, m, lp, ls, excl. Pads the tile
+    axis to a power-of-two multiple of the lane group with 1x1 dummy
+    tiles so compiled shapes stay few and stable."""
+    T = a_base.size
+    Tp = tg
+    while Tp < T:
+        Tp *= 2
+    n64 = np.maximum(a_len.astype(np.int64), 1)
+    m64 = b_len.astype(np.int64)
+    r64 = radius.astype(np.int64)
+    R = r64 + ((n64 - m64) * r64 + n64 - 1) // n64  # dtw.cpp:294-300
+    lp = R + np.where(R % 2 == 0, 1, 0)
+    ls = R + np.where(R % 2 == 1, 1, 0)
+    half_lp = lp // 2
+    d = np.zeros((9, Tp), dtype=np.int32)
+    d[0, :T] = a_base
+    d[1, :T] = (dpw - 1) - half_lp
+    d[2, :T] = a_len
+    d[3, :T] = b_base
+    d[4, :T] = half_lp + 1
+    d[5, :T] = b_len
+    d[6, :T] = lp
+    d[7, :T] = ls
+    d[8, :T] = excl
+    if Tp > T:  # dummy 1x1 tiles, radius 1 -> R=1, lp=1, ls=2
+        d[1, T:] = dpw - 1
+        d[2, T:] = 1
+        d[4, T:] = 1
+        d[5, T:] = 1
+        d[6, T:] = 1
+        d[7, T:] = 2
+    return d
+
+
+def dtw_submit_indexed(
+    a_base: np.ndarray,
+    a_len: np.ndarray,
+    b_base: np.ndarray,
+    b_len: np.ndarray,
+    radius: np.ndarray,
+    excl: np.ndarray,
+    ref_cat_dev,
+    ev_cat: np.ndarray,
+    ref_cat_host: np.ndarray,
+    *,
+    device_max_n: int = 128,
+    device_max_b: int = 128,
+) -> PendingDtw:
+    """Descriptor-based batched DTW dispatch: the a side must already be
+    the longer sequence; bases index the combined [ref_cat | ev_cat] pool
+    (event bases pre-offset by len(ref_cat)). Only descriptors (~36 B per
+    tile) and the round's event pool cross the host->device link; panels
+    are gathered on device from the resident reference pool
+    (dtw_pallas._panels_from_descs)."""
+    import jax
+
+    N = a_base.size
+    small = (a_len <= device_max_n) & (b_len <= device_max_b)
+    small_idx = np.nonzero(small)[0]
+    large_idx = np.nonzero(~small)[0]
+    packed = None
+    packed_chunks: list = []
+    if small_idx.size:
+        from rawalign_tpu.map import dtw_pallas
+
+        cls = np.maximum(32, ((a_len[small_idx] + 31) // 32) * 32)
+        order = np.argsort(cls, kind="stable")
+        small_idx = small_idx[order]
+        cls = cls[order]
+        bounds = np.nonzero(np.diff(cls))[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [small_idx.size]])
+        descs = []
+        metas = []
+        out_off = 0
+        for s0, s1 in zip(starts, ends):
+            sel = small_idx[s0:s1]
+            al, bl, r = a_len[sel], b_len[sel], radius[sel]
+            n64 = np.maximum(al.astype(np.int64), 1)
+            R = r.astype(np.int64) + (
+                (n64 - bl.astype(np.int64)) * r.astype(np.int64) + n64 - 1
+            ) // n64
+            half_lp = (R + np.where(R % 2 == 0, 1, 0)) // 2
+            dpw = max(16, _round_up(int(R.max(initial=1)) + 3, 8))
+            max_n = _round_up(int(al.max(initial=1)), 32)
+            lb2 = _round_up(
+                int((bl.astype(np.int64) + half_lp + 1 + dpw).max(initial=1)),
+                32,
+            )
+            d = _desc_array(
+                a_base[sel], al, b_base[sel], bl, r, excl[sel], dpw=dpw
+            )
+            descs.append(d)
+            tp = d.shape[1]
+            metas.append((dpw, max_n, lb2, tp))
+            packed_chunks.append((int(s0), int(s1 - s0), out_off))
+            out_off += tp
+        Lev = max(256, ev_cat.size)
+        Lp = 256
+        while Lp < Lev:
+            Lp *= 2
+        blob = np.zeros(
+            Lp + sum(9 * tp for *_rest, tp in metas), dtype=np.float32
+        )
+        blob[: ev_cat.size] = ev_cat
+        off = Lp
+        for d in descs:
+            flat = d.reshape(-1)
+            blob[off : off + flat.size] = flat.view(np.float32)
+            off += flat.size
+        packed = dtw_pallas.dtw_banded_multi_indexed(
+            ref_cat_dev,
+            blob,
+            metas=tuple(metas),
+            lev=Lp,
+            interpret=jax.default_backend() == "cpu",
+        )
+    large_costs = np.zeros(0, np.float32)
+    if large_idx.size:
+        Lref = ref_cat_host.size
+
+        def window(base, ln):
+            if base < Lref:
+                return ref_cat_host[base : base + ln]
+            return ev_cat[base - Lref : base - Lref + ln]
+
+        sub = [
+            (
+                window(int(a_base[i]), int(a_len[i])),
+                window(int(b_base[i]), int(b_len[i])),
+                int(radius[i]),
+                bool(excl[i]),
+            )
+            for i in large_idx
+        ]
+        import concurrent.futures
+
+        def _run_large():
+            from rawalign_tpu import native
+
+            if native.available():
+                return native.dtw_banded_batch(sub)
+            from rawalign_tpu.golden import dtw as gdtw
+
+            return np.array(
+                [
+                    gdtw.dtw_global_slantedbanded_antidiagonalwise(a, b, r, x)
+                    for a, b, r, x in sub
+                ],
+                dtype=np.float32,
+            )
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        large_costs = pool.submit(_run_large)
+        pool.shutdown(wait=False)
+    return PendingDtw(
+        n=N,
+        small_idx=list(small_idx),
+        small_pending=[],
+        large_idx=list(large_idx),
+        large_costs=large_costs,
+        packed=packed,
+        packed_chunks=tuple(packed_chunks),
+    )
+
+
 def dtw_collect(pending: PendingDtw) -> np.ndarray:
     """Block on the device chunks and assemble costs in input order."""
     out = np.zeros(pending.n, dtype=np.float32)
     if pending.small_idx:
         costs = np.zeros(len(pending.small_idx), dtype=np.float32)
+        if pending.packed is not None:
+            arr = np.asarray(pending.packed)
+            for s0, ln, off in pending.packed_chunks:
+                costs[s0 : s0 + ln] = arr[off : off + ln]
         for s0, ln, dev in pending.small_pending:
             costs[s0 : s0 + ln] = np.asarray(dev)[:ln]
         out[pending.small_idx] = costs

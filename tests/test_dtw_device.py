@@ -75,3 +75,57 @@ def test_device_banded_production_band_fracs():
             )
     got = tiles.dtw_banded(tiles.prepare_tiles(pairs))
     np.testing.assert_allclose(got, np.asarray(want), atol=1e-3)
+
+
+def test_indexed_dispatch_matches_golden():
+    """dtw_submit_indexed (descriptor form, device-side panel gather)
+    must match the golden banded DTW on random tiles drawn from two
+    value pools, mixing ref-side-longer and read-side-longer tiles."""
+    rng = np.random.default_rng(123)
+    ref_cat = _rand(rng, 5000)
+    ev_cat = _rand(rng, 800)
+    import jax
+
+    ref_dev = jax.device_put(ref_cat)
+    Lref = ref_cat.size
+    rows, want = [], []
+    for _ in range(60):
+        tl = int(rng.integers(2, 120))
+        ql = int(rng.integers(2, 120))
+        t0 = int(rng.integers(0, Lref - tl))
+        q0 = int(rng.integers(0, ev_cat.size - ql))
+        r = max(1, int(ql * 0.10))
+        excl = bool(rng.integers(0, 2))
+        ref_r = ref_cat[t0 : t0 + tl]
+        read_r = ev_cat[q0 : q0 + ql]
+        if tl > ql:
+            rows.append((t0, tl, Lref + q0, ql, r, int(excl)))
+            want.append(
+                gdtw.dtw_global_slantedbanded_antidiagonalwise(
+                    ref_r, read_r, r, excl
+                )
+            )
+        else:
+            rows.append((Lref + q0, ql, t0, tl, r, int(excl)))
+            want.append(
+                gdtw.dtw_global_slantedbanded_antidiagonalwise(
+                    read_r, ref_r, r, excl
+                )
+            )
+    da = np.asarray(rows, dtype=np.int64)
+    pending = tiles.dtw_submit_indexed(
+        da[:, 0].astype(np.int32),
+        da[:, 1].astype(np.int32),
+        da[:, 2].astype(np.int32),
+        da[:, 3].astype(np.int32),
+        da[:, 4].astype(np.int32),
+        da[:, 5].astype(np.int32),
+        ref_dev,
+        ev_cat,
+        ref_cat,
+    )
+    got = tiles.dtw_collect(pending)
+    want = np.asarray(want, dtype=np.float32)
+    both_huge = (got > 1e9) & (want > 1e9)
+    bad = np.nonzero(~both_huge & (np.abs(got - want) > 1e-3))[0]
+    assert bad.size == 0, (bad[:5], got[bad[:5]], want[bad[:5]])
