@@ -334,9 +334,16 @@ def main(argv=None) -> int:
         jax.profiler.stop_trace()
     if out is not sys.stdout:
         out.close()
+    # final resource report (main.cpp:389-394)
+    import resource
+
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    cpu = ru.ru_utime + ru.ru_stime
+    peak_gb = ru.ru_maxrss / (1024.0 * 1024.0)  # linux: KiB
     print(
         f"[M::main] Version: {__version__}\n"
-        f"[M::main] Real time: {time.time()-t0:.3f} sec; reads: {n_out}",
+        f"[M::main] Real time: {time.time()-t0:.3f} sec; "
+        f"CPU: {cpu:.3f} sec; Peak RSS: {peak_gb:.3f} GB; reads: {n_out}",
         file=sys.stderr,
     )
     return 0

@@ -27,7 +27,9 @@ except Exception:  # pragma: no cover
     HAVE_H5PY = False
 
 
-def find_signal_files(path: str, exts=(".fast5", ".sigbin.npz")) -> list[str]:
+def find_signal_files(
+    path: str, exts=(".fast5", ".sigbin.npz", ".slow5")
+) -> list[str]:
     """Recursive discovery of signal files (find_fast5, rsig.cpp:152-184)."""
     out: list[str] = []
     if not os.path.isdir(path):
@@ -127,5 +129,9 @@ def read_signals(paths: list[str]) -> Iterator[tuple[str, np.ndarray]]:
             yield from read_fast5(p)
         elif p.endswith(".npz"):
             yield from read_sigbin(p)
+        elif p.endswith(".slow5"):
+            from rawalign_tpu.io.slow5 import read_slow5
+
+            yield from read_slow5(p)
         else:
             raise ValueError(f"unknown signal file type: {p}")

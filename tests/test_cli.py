@@ -123,3 +123,38 @@ def test_find_outlier():
     x = np.array([[0.5, 0.5], [0.5, 0.5], [0.9, 0.1]], dtype=np.float32)
     assert find_outlier(x) == pytest.approx(2 * 0.4**2, abs=1e-6)
     assert find_outlier(np.zeros((4, 3), np.float32)) == 0.0
+
+
+def test_slow5_roundtrip(workdir, tmp_path):
+    from rawalign_tpu.io import slow5
+
+    d, ds = workdir
+    path = str(tmp_path / "reads.slow5")
+    slow5.write_slow5(path, [(r.name, r.signal) for r in ds.reads])
+    back = dict(slow5.read_slow5(path))
+    assert set(back) == {r.name for r in ds.reads}
+    via_fast5 = dict(fast5.read_fast5(str(d / "reads.fast5")))
+    for name, sig in back.items():
+        # identical DAC quantization as the FAST5 writer -> same pA back
+        np.testing.assert_allclose(sig, via_fast5[name], atol=1e-4)
+    assert path in fast5.find_signal_files(str(tmp_path))
+
+
+def test_cli_maps_slow5(workdir, tmp_path):
+    from rawalign_tpu.io import slow5
+
+    d, ds = workdir
+    path = str(tmp_path / "reads.slow5")
+    slow5.write_slow5(path, [(r.name, r.signal) for r in ds.reads])
+    out = str(tmp_path / "out.paf")
+    rc = cli.main(
+        [
+            str(d / "ref.fa"), path,
+            "-p", str(d / "model.txt"),
+            "-x", "viral", "--dtw-evaluate-chains",
+            "--engine", "golden", "-o", out,
+        ]
+    )
+    assert rc == 0
+    lines = [l for l in open(out) if l.strip()]
+    assert len(lines) == len(ds.reads)
