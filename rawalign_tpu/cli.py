@@ -296,7 +296,9 @@ def main(argv=None) -> int:
         jax.profiler.start_trace(args.profile)
 
     def reads():
-        for name, sig in fast5.read_signals(files):
+        from rawalign_tpu.io.prefetch import prefetch_signals
+
+        for name, sig in prefetch_signals(files, n_threads=args.threads):
             if name not in already_done:
                 yield name, sig
 

@@ -158,3 +158,22 @@ def test_cli_maps_slow5(workdir, tmp_path):
     assert rc == 0
     lines = [l for l in open(out) if l.strip()]
     assert len(lines) == len(ds.reads)
+
+
+def test_prefetch_matches_sync(workdir, tmp_path):
+    from rawalign_tpu.io import slow5
+    from rawalign_tpu.io.prefetch import prefetch_signals
+
+    d, ds = workdir
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"part{i}.slow5")
+        slow5.write_slow5(
+            p, [(r.name, r.signal) for r in ds.reads[i::4]]
+        )
+        paths.append(p)
+    sync = list(fast5.read_signals(paths))
+    pre = list(prefetch_signals(paths, n_threads=3, depth=2))
+    assert [n for n, _ in pre] == [n for n, _ in sync]
+    for (_, a), (_, b) in zip(pre, sync):
+        np.testing.assert_array_equal(a, b)
