@@ -1,0 +1,126 @@
+"""Multi-device scaling benchmark for the distributed mapping step.
+
+Runs the full distributed per-chunk mapping step (events -> sketch ->
+sharded index lookup with psum combination -> chaining DP; see
+rawalign_tpu.parallel.mesh.build_mapping_step) over meshes of 1..N
+devices and reports scaling efficiency — the BASELINE.md target is
+>= 80% efficiency from 1 to N hosts.
+
+On a real pod, run one process per host after
+``rawalign_tpu.parallel.distributed.init()``; here it also runs on the
+virtual CPU mesh for CI:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python scripts/bench_scaling.py --reads-per-device 8
+
+Prints one JSON line per mesh layout plus a final summary line.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads-per-device", type=int, default=8)
+    ap.add_argument("--genome-kb", type=int, default=50)
+    ap.add_argument("--n-shard", type=int, default=1,
+                    help="index shards per layout (1 = replicated index)")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; apply it
+    # programmatically so the virtual CPU mesh invocation works
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from rawalign_tpu import config
+    from rawalign_tpu.index import index as dindex
+    from rawalign_tpu.parallel import mesh as pmesh
+    from rawalign_tpu.testing import synth
+
+    n_dev = len(jax.devices())
+    ds = synth.make_dataset(
+        seed=11,
+        genome_lengths=[args.genome_kb * 1000],
+        n_reads=args.reads_per_device * n_dev,
+        read_len_bp=(400, 900),
+        noise_pa=1.5,
+    )
+    io = config.IndexOptions()
+    mo = config.MappingOptions()
+    config.set_opt("sensitive", io, mo)
+    mo.max_events_per_chunk = 512
+    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
+
+    layouts = []
+    d = 1
+    while d <= n_dev:
+        if d % args.n_shard == 0 or args.n_shard == 1:
+            layouts.append(d)
+        d *= 2
+
+    L = mo.chunk_size
+    results = {}
+    for nd in layouts:
+        n_shard = args.n_shard if nd % args.n_shard == 0 else 1
+        n_data = nd // n_shard
+        mesh = pmesh.make_mesh(n_data, n_shard)
+        keys_sh, id_sh, ps_sh, bounds = pmesh.shard_index_by_hash_range(
+            idx.keys, idx.val_id, idx.val_ps, n_shard
+        )
+        # weak scaling: per-device batch constant -> global batch grows
+        B = args.reads_per_device * n_data
+        chunks = np.zeros((B, L), dtype=np.float32)
+        lengths = np.zeros(B, dtype=np.int32)
+        for i in range(B):
+            sig = ds.reads[i % len(ds.reads)].signal[:L]
+            chunks[i, : sig.size] = sig
+            lengths[i] = sig.size
+        step = pmesh.build_mapping_step(
+            mesh, io_opt=io, mo_opt=mo, max_occ=16, max_anchors=512
+        )
+        out = step(chunks, lengths, keys_sh, id_sh, ps_sh, bounds)
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = step(chunks, lengths, keys_sh, id_sh, ps_sh, bounds)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        rps = B / dt
+        results[nd] = rps
+        print(json.dumps({
+            "metric": "chunk_steps_per_sec",
+            "devices": nd, "mesh": [n_data, n_shard],
+            "global_batch": B,
+            "reads_per_sec": round(rps, 1),
+            "step_ms": round(dt * 1e3, 2),
+        }))
+
+    base = results[layouts[0]] / layouts[0]
+    eff = results[layouts[-1]] / (layouts[-1] * base)
+    summary = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"1->{layouts[-1]} devices (weak scaling)",
+        "vs_baseline": round(eff / 0.8, 3),
+    }
+    if jax.default_backend() == "cpu":
+        # virtual devices timeshare the same host cores — this measures
+        # the sharding's correctness/compile path, not real ICI scaling
+        summary["note"] = "virtual CPU mesh; not representative of TPU"
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
