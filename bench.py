@@ -96,7 +96,9 @@ def bench_dtw_device(pairs, iters=20):
     by_class = {}
     for p in pairs:
         n = max(p[0].size, p[1].size)
-        c = max(32, ((n + 31) // 32) * 32)
+        c = 32
+        while c < n:
+            c *= 2
         by_class.setdefault(c, []).append(p)
     flat = []
     metas = []

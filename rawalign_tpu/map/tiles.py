@@ -23,6 +23,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pow2_at_least(x: int, lo: int) -> int:
+    """Smallest power of two >= max(x, lo).
+
+    Compile-shape parameters are quantized to powers of two: the fused
+    multi-class dispatch's jit signature contains EVERY class's
+    (dpw, max_n, lb2, tp), so each distinct combination is a separate
+    multi-second remote compile — pow2 buckets collapse the combination
+    space to a handful that stabilizes after the first few batches."""
+    p = lo
+    while p < x:
+        p *= 2
+    return p
+
+
 def _dtw_impl() -> str:
     """'pallas' (default: fused on-chip kernel) or 'scan' (XLA scan)."""
     return os.environ.get("RAWALIGN_TPU_DTW_IMPL", "pallas")
@@ -74,15 +88,13 @@ def prepare_tiles(
     lp = R + np.where(R % 2 == 0, 1, 0)
     half_lp = (lp // 2).astype(np.int64)
 
-    # quantized shape buckets keep the set of compiled kernel variants
-    # small (each distinct (dpw, max_n, lb2, T) bucket compiles once and
-    # is reused via the persistent compilation cache); multiples of the
-    # hardware tile sizes rather than powers of two: grid length and
-    # sublane counts need no pow2 alignment, and tighter buckets waste
-    # far fewer padded cells
-    dpw = max(16, _round_up(int(R.max(initial=1)) + 3, 8))
-    max_n = _round_up(int(a_len.max(initial=1)), 32)
-    lb2 = _round_up(int((m64 + half_lp + 1 + dpw).max(initial=1)), 32)
+    # pow2 shape buckets keep the set of compiled kernel variants small
+    # AND stable: the fused multi-class dispatch bakes every class's
+    # (dpw, max_n, lb2, T) into one jit signature, so each distinct
+    # combination is a separate multi-second remote compile
+    dpw = _pow2_at_least(int(R.max(initial=1)) + 3, 16)
+    max_n = _pow2_at_least(int(a_len.max(initial=1)), 32)
+    lb2 = _pow2_at_least(int((m64 + half_lp + 1 + dpw).max(initial=1)), 32)
 
     # flat value pools + one vectorized scatter per panel (a Python loop
     # over tens of thousands of tiny tiles dominated mapping wall time)
@@ -186,13 +198,13 @@ def dtw_submit(
             large_idx.append(i)
     small_pending = []
     if small_idx:
-        # sub-bucket by 32-quantized size class so mixed batches do not
-        # all pad to the global maximum (and so the set of compiled
-        # kernel shapes stays small and stable)
+        # sub-bucket by pow2 size class so mixed batches do not all pad
+        # to the global maximum (and so the set of compiled kernel
+        # shapes stays small and stable)
         by_class: dict[int, list[int]] = {}
         for pos, i in enumerate(small_idx):
             n = max(pairs[i][0].size, pairs[i][1].size)
-            c = max(32, _round_up(n, 32))
+            c = _pow2_at_least(n, 32)
             by_class.setdefault(c, []).append(pos)
         order: list[int] = []
         for c in sorted(by_class):
@@ -345,7 +357,10 @@ def dtw_submit_indexed(
     if small_idx.size:
         from rawalign_tpu.map import dtw_pallas
 
-        cls = np.maximum(32, ((a_len[small_idx] + 31) // 32) * 32)
+        # pow2 size classes (32/64/128): see _pow2_at_least
+        cls = np.full(small_idx.size, 32, np.int64)
+        for p in (64, 128):
+            cls[a_len[small_idx] > p // 2] = p
         order = np.argsort(cls, kind="stable")
         small_idx = small_idx[order]
         cls = cls[order]
@@ -363,9 +378,9 @@ def dtw_submit_indexed(
                 (n64 - bl.astype(np.int64)) * r.astype(np.int64) + n64 - 1
             ) // n64
             half_lp = (R + np.where(R % 2 == 0, 1, 0)) // 2
-            dpw = max(16, _round_up(int(R.max(initial=1)) + 3, 8))
-            max_n = _round_up(int(al.max(initial=1)), 32)
-            lb2 = _round_up(
+            dpw = _pow2_at_least(int(R.max(initial=1)) + 3, 16)
+            max_n = int(cls[s0])
+            lb2 = _pow2_at_least(
                 int((bl.astype(np.int64) + half_lp + 1 + dpw).max(initial=1)),
                 32,
             )
