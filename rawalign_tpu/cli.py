@@ -341,7 +341,9 @@ def main(argv=None) -> int:
 
     ru = resource.getrusage(resource.RUSAGE_SELF)
     cpu = ru.ru_utime + ru.ru_stime
-    peak_gb = ru.ru_maxrss / (1024.0 * 1024.0)  # linux: KiB
+    # ru_maxrss is KiB on Linux but bytes on macOS
+    rss_div = 1024.0**3 if sys.platform == "darwin" else 1024.0**2
+    peak_gb = ru.ru_maxrss / rss_div
     print(
         f"[M::main] Version: {__version__}\n"
         f"[M::main] Real time: {time.time()-t0:.3f} sec; "

@@ -10,6 +10,7 @@ abandon (align_chain, rmap.cpp:181-313), primary-chain selection
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Optional
 
 import numpy as np
@@ -58,10 +59,12 @@ def collect_anchors(
     chunk_start: int,
     previous_chains: list[Chain],
     opt: MappingOptions,
-) -> dict[tuple[int, int], list[tuple[int, int]]]:
+) -> tuple[dict[tuple[int, int], list[tuple[int, int]]], int]:
     """Seed the chunk events and gather anchors per (strand, target)
     (rmap.cpp:343-401). Anchors from chains surviving previous chunks are
-    re-injected first, then sorted together with the new ones."""
+    re-injected first, then sorted together with the new ones. Returns
+    (anchors, chunk_seed_hits) — the hit count feeds --log-num-anchors
+    (rmap.cpp:371,381)."""
     io = index.opt
     anchors: dict[tuple[int, int], list[tuple[int, int]]] = {}
     for ch in previous_chains:
@@ -73,10 +76,13 @@ def collect_anchors(
         chunk_events, 0, 0, io.w, io.e, io.n, io.q, io.lq, io.k
     )
     mask31 = (1 << 31) - 1
+    chunk_seed_hits = 0
     for x, y in seeds:
         hashval = int(x) >> gsketch.RI_HASH_SHIFT
         pi = (int(y) & 0xFFFFFFFF) >> gsketch.RI_POS_SHIFT
-        for keyval in index.get(hashval):
+        hits = index.get(hashval)
+        chunk_seed_hits += len(hits)
+        for keyval in hits:
             keyval = int(keyval)
             t_ind = keyval >> gsketch.RI_ID_SHIFT
             target_pos = ((keyval >> gsketch.RI_POS_SHIFT) & 0xFFFFFFFF) & mask31
@@ -86,7 +92,7 @@ def collect_anchors(
             )
     for key in anchors:
         anchors[key].sort()  # (target_position, query_position), rmap.h:24-26
-    return anchors
+    return anchors, chunk_seed_hits
 
 
 def chain_anchors(
@@ -302,6 +308,14 @@ def align_chain(
         np.float32(num_aligned) * np.float32(opt.dtw_match_bonus) - dtw_cost
     )
 
+    if opt.flag & MappingFlag.DTW_LOG_SCORES:
+        # rmap.cpp:308-312 (only reached when not early-abandoned)
+        print(
+            f"chaining_score={chain.chaining_score:f} "
+            f"alignment_score={chain.alignment_score:f}",
+            file=sys.stderr,
+        )
+
 
 def gen_primary_chains(chains: list[Chain], opt: MappingOptions) -> list[Chain]:
     """Primary chain selection by score + overlap (rmap.cpp:90-128)."""
@@ -332,12 +346,48 @@ def comp_mapq(chains: list[Chain], opt: MappingOptions) -> None:
     if len(chains) == 1:
         chains[0].mapq = 60
         return
+    from rawalign_tpu.golden.engine import c_fdiv
+
     if opt.flag & MappingFlag.DTW_EVALUATE_CHAINS:
-        ratio = chains[1].alignment_score / chains[0].alignment_score
+        ratio = c_fdiv(chains[1].alignment_score, chains[0].alignment_score)
     else:
-        ratio = chains[1].chaining_score / chains[0].chaining_score
-    mapq = int(40 * (1 - ratio))
-    chains[0].mapq = max(0, min(60, mapq))
+        ratio = c_fdiv(chains[1].chaining_score, chains[0].chaining_score)
+    # C casts the float to int before clamping (rmap.cpp:74-86); on x86
+    # inf/nan convert to INT_MIN, which clamps to 0
+    v = 40.0 * (1.0 - ratio)
+    mapq = 0 if (v != v or v < 0) else (60 if v > 60 else int(v))
+    chains[0].mapq = mapq
+
+
+def log_anchors(
+    anchors_by_key: dict,
+    read_name: str,
+    seq_names: list[str],
+    n_seq: int,
+) -> None:
+    """--log-anchors emission (rmap.cpp:403-416): every (target, strand)
+    pair of the sorted anchor table, including empty ones."""
+    for t_ind in range(n_seq):
+        for strand in (0, 1):
+            lst = anchors_by_key.get((strand, t_ind), [])
+            astr = "".join(f"({q},{t})" for t, q in lst)
+            print(
+                f"readname={read_name} refname={seq_names[t_ind]} "
+                f"strand={strand} anchors={astr}",
+                file=sys.stderr,
+            )
+
+
+def log_num_anchors(
+    read_name: str, chunk_start: int, l_chunk_events: int, n_hits: int
+) -> None:
+    """--log-num-anchors emission (rmap.cpp:418-425)."""
+    print(
+        f"readname={read_name} "
+        f"pos=[{chunk_start},{chunk_start + l_chunk_events - 1}] "
+        f"num_anchors={n_hits}",
+        file=sys.stderr,
+    )
 
 
 def gen_chains(
@@ -347,12 +397,19 @@ def gen_chains(
     read_events: np.ndarray,
     previous_chains: list[Chain],
     opt: MappingOptions,
+    read_name: str = "",
 ) -> list[Chain]:
     """Full per-chunk seeding + chaining + DTW pipeline
     (gen_chains, rmap.cpp:315-542). Returns the new chain list."""
-    anchors_by_key = collect_anchors(
+    anchors_by_key, chunk_seed_hits = collect_anchors(
         index, chunk_events, chunk_start, previous_chains, opt
     )
+    if opt.flag & MappingFlag.LOG_ANCHORS:
+        log_anchors(anchors_by_key, read_name, index.seq_names, index.n_seq)
+    if opt.flag & MappingFlag.LOG_NUM_ANCHORS:
+        log_num_anchors(
+            read_name, chunk_start, chunk_events.size, chunk_seed_hits
+        )
     chains: list[Chain] = []
     max_score = 0.0
     e = index.opt.e

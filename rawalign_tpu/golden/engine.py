@@ -20,6 +20,21 @@ from rawalign_tpu.golden import events as gevents
 from rawalign_tpu.io import paf
 
 
+def c_fdiv(a: float, b: float) -> float:
+    """C float-division semantics: x/0 = +-inf, 0/0 = nan.
+
+    The reference divides chain scores that can be 0 (or <=0 with
+    --no-chainingscore-filtering, rmap.cpp:605,652); Python would raise
+    ZeroDivisionError where C yields inf/nan (whose comparisons are
+    well-defined: nan >= r is false).
+    """
+    if b == 0.0:
+        if a == 0.0:
+            return float("nan")
+        return float("inf") if a > 0.0 else float("-inf")
+    return a / b
+
+
 @dataclasses.dataclass
 class ReadState:
     """Mirror of ri_reg1_t + the per-read global event array."""
@@ -41,7 +56,13 @@ def map_frag(
     if chunk_events.size < opt.min_events:
         return
     state.chains = gchain.gen_chains(
-        index, chunk_events, state.offset, state.events, state.chains, opt
+        index,
+        chunk_events,
+        state.offset,
+        state.events,
+        state.chains,
+        opt,
+        read_name=state.read_name,
     )
     state.offset += chunk_events.size
 
@@ -55,7 +76,7 @@ def is_mapped_with_high_confidence(state: ReadState, opt: MappingOptions) -> boo
     if opt.flag & MappingFlag.DTW_EVALUATE_CHAINS:
         if len(chains) >= 2:
             if (
-                chains[0].alignment_score / chains[1].alignment_score
+                c_fdiv(chains[0].alignment_score, chains[1].alignment_score)
                 >= opt.min_bestmap_ratio
             ):
                 return True
@@ -68,7 +89,7 @@ def is_mapped_with_high_confidence(state: ReadState, opt: MappingOptions) -> boo
         return False
     if len(chains) >= 2:
         if (
-            chains[0].chaining_score / chains[1].chaining_score
+            c_fdiv(chains[0].chaining_score, chains[1].chaining_score)
             >= opt.min_bestmap_ratio
         ):
             return True

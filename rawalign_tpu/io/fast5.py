@@ -43,6 +43,42 @@ def find_signal_files(
     return sorted(out)
 
 
+_VBZ_FILTER_ID = 32020  # ONT vbz_compression HDF5 filter
+
+
+def _read_signal_dataset(dset) -> np.ndarray:
+    """Read a Signal dataset, diagnosing a missing VBZ plugin.
+
+    ONT FAST5s are commonly vbz-compressed (HDF5 filter 32020); without
+    the plugin h5py fails with an opaque 'required filter is not
+    registered' OSError. The reference ships
+    ensure_hdf5_vbz_plugin.sh + HDF5_PLUGIN_PATH for this; we detect the
+    filter and point at the same remedy."""
+    try:
+        return np.asarray(dset[:])
+    except OSError as e:
+        # check the dataset creation property list for the vbz filter
+        compressed = False
+        try:
+            plist = dset.id.get_create_plist()
+            compressed = any(
+                plist.get_filter(i)[0] == _VBZ_FILTER_ID
+                for i in range(plist.get_nfilters())
+            )
+        except Exception:
+            pass
+        if compressed or "filter" in str(e).lower():
+            raise RuntimeError(
+                f"{dset.file.filename}: signal is VBZ-compressed (HDF5 "
+                f"filter {_VBZ_FILTER_ID}) and the vbz plugin is not "
+                "loaded. Install ont-vbz-hdf5-plugin and set "
+                "HDF5_PLUGIN_PATH to its directory (see the reference's "
+                "ensure_hdf5_vbz_plugin.sh), or convert the file with "
+                "'slow5tools f2s | slow5tools view' to ASCII .slow5."
+            ) from e
+        raise
+
+
 def _convert(raw: np.ndarray, dig: float, rng: float, off: float) -> np.ndarray:
     scale = rng / dig
     sig = (raw.astype(np.float32) + np.float32(off)) * np.float32(scale)
@@ -64,7 +100,7 @@ def read_fast5(path: str) -> Iterator[tuple[str, np.ndarray]]:
                 grp = f["/Raw/Reads"][read_name]
                 rid = grp.attrs["read_id"]
                 rid = rid.decode() if isinstance(rid, bytes) else str(rid)
-                raw = np.asarray(grp["Signal"][:])
+                raw = _read_signal_dataset(grp["Signal"])
                 yield rid, _convert(raw, dig, rng, off)
         else:  # multi-read layout (rsig.cpp:84-91)
             for read_name in f:
@@ -76,7 +112,7 @@ def read_fast5(path: str) -> Iterator[tuple[str, np.ndarray]]:
                 off = float(ch["offset"])
                 rid = raw_grp.attrs["read_id"]
                 rid = rid.decode() if isinstance(rid, bytes) else str(rid)
-                raw = np.asarray(raw_grp["Signal"][:])
+                raw = _read_signal_dataset(raw_grp["Signal"])
                 yield rid, _convert(raw, dig, rng, off)
 
 

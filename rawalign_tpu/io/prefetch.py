@@ -42,12 +42,19 @@ def prefetch_signals(
 
     def worker():
         while True:
+            # Acquire the depth slot BEFORE claiming a file index: every
+            # claimed (in-flight) file then holds a slot, so the lowest
+            # unconsumed file is always parsed or being parsed and the
+            # consumer always makes progress. (Claiming first could let
+            # later files exhaust all slots while the lowest-index worker
+            # waits on the semaphore -> deadlock.)
+            sem.acquire()
             with lock:
                 i = next_file[0]
                 if i >= len(paths):
+                    sem.release()
                     return
                 next_file[0] = i + 1
-            sem.acquire()
             try:
                 batch = list(fast5.read_signals([paths[i]]))
                 results[i].put(batch)

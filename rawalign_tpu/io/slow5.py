@@ -44,23 +44,27 @@ def read_slow5(path: str) -> Iterator[tuple[str, np.ndarray]]:
                 # other # row is the type row (char*, double, ...)
                 if "read_id" in fields:
                     cols = {name: i for i, name in enumerate(fields)}
+                    missing = [c for c in _REQUIRED if c not in cols]
+                    if missing:
+                        raise ValueError(
+                            f"{path}: missing SLOW5 columns {missing}"
+                        )
                 continue
             if not cols:
                 raise ValueError(
                     f"{path}: data row before #read_id header row"
                 )
-            missing = [c for c in _REQUIRED if c not in cols]
-            if missing:
-                raise ValueError(f"{path}: missing SLOW5 columns {missing}")
             parts = line.split("\t")
             rid = parts[cols["read_id"]]
             dig = float(parts[cols["digitisation"]])
             off = float(parts[cols["offset"]])
             rng = float(parts[cols["range"]])
             n = int(parts[cols["len_raw_signal"]])
-            raw = np.array(
-                parts[cols["raw_signal"]].split(","), dtype=np.int16
-            )
+            field = parts[cols["raw_signal"]]
+            if n == 0 and not field:
+                raw = np.zeros(0, dtype=np.int16)
+            else:
+                raw = np.array(field.split(","), dtype=np.int16)
             if raw.size != n:
                 raise ValueError(
                     f"{path}: read {rid}: len_raw_signal={n} but "

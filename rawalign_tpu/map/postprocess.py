@@ -238,6 +238,15 @@ def bnb_replay(
         chain.alignment_score = float(
             np.float32(num_aligned) * np.float32(opt.dtw_match_bonus) - dtw_cost
         )
+        if opt.flag & MappingFlag.DTW_LOG_SCORES:
+            import sys
+
+            # rmap.cpp:308-312 (only for chains not early-abandoned)
+            print(
+                f"chaining_score={chain.chaining_score:f} "
+                f"alignment_score={chain.alignment_score:f}",
+                file=sys.stderr,
+            )
         if chain.alignment_score >= opt.dtw_min_score:
             if chain.alignment_score > best_found:
                 best_found = chain.alignment_score

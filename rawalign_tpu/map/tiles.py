@@ -357,10 +357,15 @@ def dtw_submit_indexed(
     if small_idx.size:
         from rawalign_tpu.map import dtw_pallas
 
-        # pow2 size classes (32/64/128): see _pow2_at_least
+        # pow2 size classes (32, 64, ..., pow2>=device_max_n): derived
+        # from device_max_n so a larger device cap cannot silently
+        # truncate tiles into a smaller class (see _pow2_at_least)
         cls = np.full(small_idx.size, 32, np.int64)
-        for p in (64, 128):
+        p = 64
+        top = _pow2_at_least(device_max_n, 32)
+        while p <= top:
             cls[a_len[small_idx] > p // 2] = p
+            p *= 2
         order = np.argsort(cls, kind="stable")
         small_idx = small_idx[order]
         cls = cls[order]

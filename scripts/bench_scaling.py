@@ -63,12 +63,18 @@ def main():
     mo.max_events_per_chunk = 512
     idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
 
+    if args.n_shard < 1 or args.n_shard & (args.n_shard - 1):
+        ap.error(f"--n-shard must be a power of two (got {args.n_shard})")
     layouts = []
     d = 1
     while d <= n_dev:
         if d % args.n_shard == 0 or args.n_shard == 1:
             layouts.append(d)
         d *= 2
+    if not layouts:
+        ap.error(
+            f"--n-shard {args.n_shard} exceeds available devices ({n_dev})"
+        )
 
     L = mo.chunk_size
     results = {}
@@ -98,7 +104,7 @@ def main():
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / args.iters
         rps = B / dt
-        results[nd] = rps
+        results[nd] = (rps, n_data)
         print(json.dumps({
             "metric": "chunk_steps_per_sec",
             "devices": nd, "mesh": [n_data, n_shard],
@@ -107,8 +113,11 @@ def main():
             "step_ms": round(dt * 1e3, 2),
         }))
 
-    base = results[layouts[0]] / layouts[0]
-    eff = results[layouts[-1]] / (layouts[-1] * base)
+    # weak scaling over the data axis: the global batch grows with
+    # n_data (not total devices), so normalize per data row
+    rps0, ndata0 = results[layouts[0]]
+    rpsN, ndataN = results[layouts[-1]]
+    eff = (rpsN / ndataN) / (rps0 / ndata0)
     summary = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
