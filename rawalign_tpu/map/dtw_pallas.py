@@ -350,6 +350,69 @@ def dtw_banded_multi_indexed(
     return jnp.concatenate(outs)
 
 
+_SHARDED_DISPATCH_CACHE: dict = {}
+
+
+def dtw_banded_multi_indexed_sharded(
+    ref_cat: jax.Array,  # replicated resident reference value pool
+    ev_pool: jax.Array,  # (lev,) f32 round event pool (replicated)
+    descs: tuple,  # per class batch: (9, Tp) int32, Tp % (n_dev*tg) == 0
+    *,
+    metas: tuple,  # ((dpw, max_n, lb2, Tp), ...) — Tp GLOBAL per class
+    mesh,
+    tg: int = 128,
+    interpret: bool = False,
+) -> tuple:
+    """Mesh-sharded variant of dtw_banded_multi_indexed: the TILE axis of
+    every class batch is sharded over all mesh devices (the flattened
+    (data, shard) axes); the signal pool is replicated, so each device
+    gathers its own panels and runs the wavefront kernel on its tile
+    slice with zero inter-device communication — DTW tiles are
+    embarrassingly parallel, the multi-chip analog of the reference
+    mapping threads each running DTW_global_slantedbanded_antidiagonalwise
+    (kt_for, rmap.cpp:916 + dtw.cpp:273-520).
+
+    Returns a tuple of (Tp,) global cost arrays, one per class batch."""
+    from jax.sharding import PartitionSpec as P
+
+    axes = tuple(mesh.axis_names)
+    key = (mesh, metas, tg, interpret)
+    f = _SHARDED_DISPATCH_CACHE.get(key)
+    if f is None:
+
+        def local(ref_cat, ev_pool, *dd):
+            src = jnp.concatenate([ref_cat, ev_pool])
+            outs = []
+            for d, (dpw, max_n, lb2, _tp) in zip(dd, metas):
+                args, corr = _panels_from_descs(
+                    src, d, dpw=dpw, max_n=max_n, lb2=lb2
+                )
+                outs.append(
+                    _dtw_call(
+                        *args,
+                        dpw=dpw,
+                        max_n=max_n,
+                        tg=tg,
+                        interpret=interpret,
+                    )
+                    - corr
+                )
+            return tuple(outs)
+
+        f = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=(P(None), P(None))
+                + tuple(P(None, axes) for _ in metas),
+                out_specs=tuple(P(axes) for _ in metas),
+                check_vma=False,
+            )
+        )
+        _SHARDED_DISPATCH_CACHE[key] = f
+    return f(ref_cat, ev_pool, *descs)
+
+
 @functools.partial(jax.jit, static_argnames=("metas", "tg", "interpret"))
 def dtw_banded_multi(
     flat_args: tuple,  # 7 arrays per class batch, concatenated

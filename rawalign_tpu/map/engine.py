@@ -229,6 +229,7 @@ class MappingEngine:
                 max_target_gap=opt.max_target_gap_length,
                 max_skips=opt.max_num_skips,
             )
+        self._chain_fn = chain_fn  # overridable hook (distributed engine)
 
         @jax.jit
         def _chain_packed(packed):
@@ -536,17 +537,7 @@ class MappingEngine:
                 if ev_parts
                 else np.zeros(0, np.float32)
             )
-            pending = tiles.dtw_submit_indexed(
-                da[:, 0].astype(np.int32),
-                da[:, 1].astype(np.int32),
-                da[:, 2].astype(np.int32),
-                da[:, 3].astype(np.int32),
-                da[:, 4].astype(np.int32),
-                da[:, 5].astype(np.int32),
-                self._ref_cat_dev,
-                ev_cat,
-                self._ref_cat_host,
-            )
+            pending = self._dtw_submit(da, ev_cat)
             mark("dtw_prep")
             yield
             costs = tiles.dtw_collect(pending)
@@ -585,6 +576,22 @@ class MappingEngine:
                 st.done = True
         mark("finalize")
         charge_round()
+
+    # ------------------------------------------------------------------
+    def _dtw_submit(self, da: np.ndarray, ev_cat: np.ndarray):
+        """Dispatch one round's DTW tile descriptors (overridable hook:
+        the distributed engine shards the tile axis over its mesh)."""
+        return tiles.dtw_submit_indexed(
+            da[:, 0].astype(np.int32),
+            da[:, 1].astype(np.int32),
+            da[:, 2].astype(np.int32),
+            da[:, 3].astype(np.int32),
+            da[:, 4].astype(np.int32),
+            da[:, 5].astype(np.int32),
+            self._ref_cat_dev,
+            ev_cat,
+            self._ref_cat_host,
+        )
 
     # ------------------------------------------------------------------
     def _decision(self, st: _ReadState) -> bool:

@@ -339,13 +339,20 @@ def dtw_submit_indexed(
     *,
     device_max_n: int = 128,
     device_max_b: int = 128,
+    mesh=None,
+    tg: int = 128,
 ) -> PendingDtw:
     """Descriptor-based batched DTW dispatch: the a side must already be
     the longer sequence; bases index the combined [ref_cat | ev_cat] pool
     (event bases pre-offset by len(ref_cat)). Only descriptors (~36 B per
     tile) and the round's event pool cross the host->device link; panels
     are gathered on device from the resident reference pool
-    (dtw_pallas._panels_from_descs)."""
+    (dtw_pallas._panels_from_descs).
+
+    With ``mesh`` set, every class batch's tile axis is padded to a
+    multiple of (mesh.size * tg) and sharded over ALL mesh devices
+    (dtw_pallas.dtw_banded_multi_indexed_sharded); ref_cat_dev must then
+    be replicated over the mesh."""
     import jax
 
     N = a_base.size
@@ -354,9 +361,11 @@ def dtw_submit_indexed(
     large_idx = np.nonzero(~small)[0]
     packed = None
     packed_chunks: list = []
+    small_pending: list = []
     if small_idx.size:
         from rawalign_tpu.map import dtw_pallas
 
+        tg_total = tg * (mesh.size if mesh is not None else 1)
         # pow2 size classes (32, 64, ..., pow2>=device_max_n): derived
         # from device_max_n so a larger device cap cannot silently
         # truncate tiles into a smaller class (see _pow2_at_least)
@@ -390,7 +399,8 @@ def dtw_submit_indexed(
                 32,
             )
             d = _desc_array(
-                a_base[sel], al, b_base[sel], bl, r, excl[sel], dpw=dpw
+                a_base[sel], al, b_base[sel], bl, r, excl[sel], dpw=dpw,
+                tg=tg_total,
             )
             descs.append(d)
             tp = d.shape[1]
@@ -401,22 +411,40 @@ def dtw_submit_indexed(
         Lp = 256
         while Lp < Lev:
             Lp *= 2
-        blob = np.zeros(
-            Lp + sum(9 * tp for *_rest, tp in metas), dtype=np.float32
-        )
-        blob[: ev_cat.size] = ev_cat
-        off = Lp
-        for d in descs:
-            flat = d.reshape(-1)
-            blob[off : off + flat.size] = flat.view(np.float32)
-            off += flat.size
-        packed = dtw_pallas.dtw_banded_multi_indexed(
-            ref_cat_dev,
-            blob,
-            metas=tuple(metas),
-            lev=Lp,
-            interpret=jax.default_backend() == "cpu",
-        )
+        if mesh is not None:
+            ev_pool = np.zeros(Lp, dtype=np.float32)
+            ev_pool[: ev_cat.size] = ev_cat
+            outs = dtw_pallas.dtw_banded_multi_indexed_sharded(
+                ref_cat_dev,
+                ev_pool,
+                tuple(descs),
+                metas=tuple(metas),
+                mesh=mesh,
+                tg=tg,
+                interpret=jax.default_backend() == "cpu",
+            )
+            small_pending = [
+                (s0c, lnc, outs[k])
+                for k, (s0c, lnc, _off) in enumerate(packed_chunks)
+            ]
+            packed_chunks = []
+        else:
+            blob = np.zeros(
+                Lp + sum(9 * tp for *_rest, tp in metas), dtype=np.float32
+            )
+            blob[: ev_cat.size] = ev_cat
+            off = Lp
+            for d in descs:
+                flat = d.reshape(-1)
+                blob[off : off + flat.size] = flat.view(np.float32)
+                off += flat.size
+            packed = dtw_pallas.dtw_banded_multi_indexed(
+                ref_cat_dev,
+                blob,
+                metas=tuple(metas),
+                lev=Lp,
+                interpret=jax.default_backend() == "cpu",
+            )
     large_costs = np.zeros(0, np.float32)
     if large_idx.size:
         Lref = ref_cat_host.size
@@ -458,7 +486,7 @@ def dtw_submit_indexed(
     return PendingDtw(
         n=N,
         small_idx=list(small_idx),
-        small_pending=[],
+        small_pending=small_pending,
         large_idx=list(large_idx),
         large_costs=large_costs,
         packed=packed,

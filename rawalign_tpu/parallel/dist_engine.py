@@ -1,0 +1,251 @@
+"""The distributed mapping engine: the FULL per-chunk step under a mesh.
+
+The reference's entire parallel story is one shared-memory thread pool
+(kt_for over reads + kt_pipeline, src/kthread.c:30-159). This engine is
+its multi-chip replacement: the same continuous-batching MappingEngine,
+with every device stage jitted over a 2-axis ``jax.sharding.Mesh``:
+
+  stage 1 (events + sketch + index lookup) — reads are sharded over the
+      FLATTENED (data, shard) axes (pure read-level data parallelism for
+      the event/sketch scans), and seed lookups use **all-to-all seed
+      routing** over the 'shard' axis: the sorted key table is
+      partitioned into contiguous hash ranges (one per shard column);
+      each device masks its seeds per owner range and a single
+      ``lax.all_to_all`` delivers every hash to the owner, which answers
+      with (global_lo, count) into the global position table; a second
+      all_to_all routes the answers back. Index VALUES never cross the
+      wire (and never leave the host): per-seed hit lists are expanded
+      on the host from (global_lo, count), exactly like the
+      single-device engine — so the distributed engine is PAF-identical
+      by construction.
+
+  chaining DP — per-read independent; sharded over the flattened mesh.
+
+  DTW tile evaluation — the tile axis of every size-class batch is
+      sharded over all devices; the reference signal pool is replicated
+      so the indexed panel gather happens on the owning device
+      (tiles.dtw_submit_indexed(mesh=...)).
+
+Decisions, primary-chain selection, MAPQ and PAF emission stay on the
+host (process 0), identical to the single-device engine.
+
+Communication volume per round: 2 all_to_alls of (S, b_loc, NS) int32
+grids (seed hashes out, (lo, count) back) — no psum over full
+(B, NS, max_occ) hit tensors (SURVEY §5's all-to-all north star, vs the
+replicate-reads+psum of parallel.mesh.build_mapping_step).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rawalign_tpu.config import MappingOptions
+from rawalign_tpu.index.index import RawIndex
+from rawalign_tpu.map import tiles
+from rawalign_tpu.map.engine import MappingEngine
+from rawalign_tpu.parallel import mesh as pmesh
+from rawalign_tpu.seeds import sketch as dsketch
+from rawalign_tpu.signal import events as devents
+
+
+class DistributedMappingEngine(MappingEngine):
+    """MappingEngine with every device stage sharded over ``mesh``.
+
+    mesh must have axis names ("data", "shard"); batch_size is rounded
+    up to a multiple of mesh.size so the read axis shards evenly.
+    """
+
+    def __init__(
+        self,
+        index: RawIndex,
+        opt: MappingOptions,
+        mesh: Mesh,
+        **kw,
+    ):
+        assert tuple(mesh.axis_names) == ("data", "shard"), mesh.axis_names
+        self.mesh = mesh
+        n_dev = mesh.size
+        bs = kw.pop("batch_size", 64)
+        kw["batch_size"] = -(-bs // n_dev) * n_dev
+        super().__init__(index, opt, **kw)
+        # DTW lane group per device: 128 tiles/lane-group on TPU; small
+        # in interpret mode (CPU) where lanes are emulated
+        self._dtw_tg = 8 if jax.default_backend() == "cpu" else 128
+        # replicate the resident reference signal pool over the mesh
+        self._ref_cat_dev = jax.device_put(
+            self._ref_cat_host, NamedSharding(mesh, P(None))
+        )
+        self._build_stage1_routed()
+        self._build_chain_sharded()
+
+    # ------------------------------------------------------------------
+    def _build_stage1_routed(self) -> None:
+        io = self.index.opt
+        opt = self.opt
+        ne = opt.max_events_per_chunk
+        max_occ = self.max_occ
+        mesh = self.mesh
+        S = mesh.shape["shard"]
+        keys_sh, n_real, offsets, cut_starts = pmesh.shard_keys_for_routing(
+            np.asarray(self.index.keys), S
+        )
+        cut_starts_j = jnp.asarray(cut_starts)  # replicated closure const
+        DEAD = jnp.uint32(0xFFFFFFFF)
+
+        def step(packed_in, ksh, nr, off):
+            # packed_in (b_loc, L+1) — this device's read slice
+            chunks = packed_in[:, :-1]
+            lengths = packed_in[:, -1].astype(jnp.int32)
+            ev = devents.detect_events_batch(
+                chunks,
+                lengths,
+                w1=opt.window_length1,
+                w2=opt.window_length2,
+                threshold1=opt.threshold1,
+                threshold2=opt.threshold2,
+                peak_height=opt.peak_height,
+                max_events=ne,
+            )
+            if io.w:
+                seeds = dsketch.sketch_events_min_batch(
+                    ev.values, ev.n_events, w=io.w, e=io.e, q=io.q, lq=io.lq
+                )
+            else:
+                seeds = dsketch.sketch_events_batch(
+                    ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
+                )
+            h = seeds.hashes  # (b_loc, NS) uint32
+            b_loc, NS = h.shape
+            # owner shard of every hash (cut_starts is globally sorted)
+            owner = jnp.clip(
+                jnp.searchsorted(
+                    cut_starts_j, h.reshape(-1), side="right"
+                ).astype(jnp.int32)
+                - 1,
+                0,
+                S - 1,
+            ).reshape(h.shape)
+            # all-to-all OUT: one masked (b_loc, NS) hash grid per owner
+            dest = jax.lax.broadcasted_iota(jnp.int32, (S, b_loc, NS), 0)
+            routed = jnp.where(
+                (owner[None] == dest) & seeds.valid[None], h[None], DEAD
+            )
+            routed = jax.lax.all_to_all(
+                routed, "shard", split_axis=0, concat_axis=0
+            )
+            # owner-side lookup over the local contiguous key range; hi
+            # is clipped to the real key count so padding (and DEAD
+            # markers) never produce hits
+            my_keys = ksh[0]
+            flat = routed.reshape(-1)
+            lo = jnp.searchsorted(my_keys, flat, side="left").astype(
+                jnp.int32
+            )
+            hi = jnp.searchsorted(my_keys, flat, side="right").astype(
+                jnp.int32
+            )
+            hi = jnp.minimum(hi, nr[0])
+            cnt = jnp.maximum(hi - lo, 0).reshape(S, b_loc, NS)
+            glo = (lo + off[0]).reshape(S, b_loc, NS)  # GLOBAL table index
+            # all-to-all BACK: answers return to the seed's home device;
+            # select the owner's slab per seed
+            back = jax.lax.all_to_all(
+                jnp.stack([glo, cnt], axis=1),
+                "shard",
+                split_axis=0,
+                concat_axis=0,
+            )
+            glo_b = jnp.take_along_axis(back[:, 0], owner[None], axis=0)[0]
+            cnt_b = jnp.take_along_axis(back[:, 1], owner[None], axis=0)[0]
+            # occurrence-cap policy identical to the single-device stage
+            over = cnt_b > max_occ
+            n_occ_dropped = jnp.sum(
+                jnp.where(seeds.valid & over, cnt_b, 0), axis=1
+            ).astype(jnp.int32)
+            count = jnp.where(seeds.valid & ~over, cnt_b, 0)
+            bc = lambda x: jax.lax.bitcast_convert_type(
+                x.astype(jnp.int32), jnp.float32
+            )
+            scalars = jnp.stack(
+                [
+                    ev.n_events.astype(jnp.int32),
+                    ev.n_dropped.astype(jnp.int32),
+                    n_occ_dropped,
+                ],
+                axis=1,
+            )
+            return jnp.concatenate(
+                [ev.values, bc(glo_b), bc(count), bc(seeds.qpos), bc(scalars)],
+                axis=1,
+            )
+
+        f = jax.jit(
+            jax.shard_map(
+                step,
+                mesh=mesh,
+                in_specs=(
+                    P(("data", "shard"), None),
+                    P("shard", None),
+                    P("shard"),
+                    P("shard"),
+                ),
+                out_specs=P(("data", "shard"), None),
+                check_vma=False,
+            )
+        )
+        ksh_d = jax.device_put(keys_sh, NamedSharding(mesh, P("shard", None)))
+        nr_d = jax.device_put(n_real, NamedSharding(mesh, P("shard")))
+        off_d = jax.device_put(offsets, NamedSharding(mesh, P("shard")))
+        self._stage1 = lambda packed_in: f(packed_in, ksh_d, nr_d, off_d)
+
+    # ------------------------------------------------------------------
+    def _build_chain_sharded(self) -> None:
+        mesh = self.mesh
+        chain_fn = self._chain_fn
+
+        def local(packed):
+            A = (packed.shape[1] - 1) // 3
+            dp = chain_fn(
+                packed[:, :A],
+                packed[:, A : 2 * A],
+                packed[:, 2 * A : 3 * A],
+                packed[:, 3 * A],
+            )
+            return jnp.concatenate(
+                [
+                    dp.scores.astype(jnp.float32),
+                    jax.lax.bitcast_convert_type(
+                        dp.preds.astype(jnp.int32), jnp.float32
+                    ),
+                ],
+                axis=1,
+            )
+
+        self._chain_dp = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=P(("data", "shard"), None),
+                out_specs=P(("data", "shard"), None),
+                check_vma=False,
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def _dtw_submit(self, da: np.ndarray, ev_cat: np.ndarray):
+        return tiles.dtw_submit_indexed(
+            da[:, 0].astype(np.int32),
+            da[:, 1].astype(np.int32),
+            da[:, 2].astype(np.int32),
+            da[:, 3].astype(np.int32),
+            da[:, 4].astype(np.int32),
+            da[:, 5].astype(np.int32),
+            self._ref_cat_dev,
+            ev_cat,
+            self._ref_cat_host,
+            mesh=self.mesh,
+            tg=self._dtw_tg,
+        )

@@ -78,6 +78,53 @@ def shard_index_by_hash_range(keys, val_id, val_ps, n_shard: int):
     return keys_sh, id_sh, ps_sh, bounds
 
 
+def shard_keys_for_routing(keys: np.ndarray, n_shard: int):
+    """Partition ONLY the sorted key table for all-to-all seed routing
+    (the index VALUES never leave the host: owners answer queries with
+    (global_lo, count) into the host position arrays).
+
+    Returns (keys_sh, n_real, offsets, cut_starts):
+      keys_sh    (S, W) uint32 — contiguous key ranges, 0xFFFFFFFF-padded
+      n_real     (S,)   int32  — real keys per shard (searchsorted hi is
+                                 clipped to this so padding never counts)
+      offsets    (S,)   int32  — global index of each shard's first key
+      cut_starts (S,)   uint32 — first key VALUE per shard; the owner of
+                                 hash h is searchsorted(cut_starts, h,
+                                 'right')-1. Cuts are aligned to key-value
+                                 boundaries so every hash has exactly one
+                                 owner; empty shards inherit the next
+                                 shard's start so routing skips them.
+    """
+    S = keys.shape[0]
+    per = -(-max(S, 1) // n_shard)
+    cuts = [0]
+    for s in range(1, n_shard):
+        c = min(s * per, S)
+        if 0 < c < S:
+            c = int(np.searchsorted(keys, keys[c], side="left"))
+        cuts.append(c)
+    cuts.append(S)
+    width = max(max(cuts[s + 1] - cuts[s] for s in range(n_shard)), 1)
+    keys_sh = np.full(
+        (n_shard, width), np.uint32(0xFFFFFFFF), dtype=np.uint32
+    )
+    n_real = np.zeros(n_shard, dtype=np.int32)
+    offsets = np.zeros(n_shard, dtype=np.int32)
+    cut_starts = np.full(n_shard, np.uint32(0xFFFFFFFF), dtype=np.uint32)
+    for s in range(n_shard):
+        lo, hi = cuts[s], cuts[s + 1]
+        m = hi - lo
+        n_real[s] = m
+        offsets[s] = lo
+        if m > 0:
+            keys_sh[s, :m] = keys[lo:hi]
+            cut_starts[s] = keys[lo]
+    for s in range(n_shard - 2, -1, -1):  # empty shards: inherit next
+        if n_real[s] == 0:
+            cut_starts[s] = cut_starts[s + 1]
+    return keys_sh, n_real, offsets, cut_starts
+
+
 def build_mapping_step(
     mesh: Mesh, *, io_opt, mo_opt, max_occ: int = 16, max_anchors: int = 1024
 ):

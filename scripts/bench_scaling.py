@@ -1,10 +1,10 @@
-"""Multi-device scaling benchmark for the distributed mapping step.
+"""Multi-device scaling benchmark for the distributed mapping ENGINE.
 
-Runs the full distributed per-chunk mapping step (events -> sketch ->
-sharded index lookup with psum combination -> chaining DP; see
-rawalign_tpu.parallel.mesh.build_mapping_step) over meshes of 1..N
-devices and reports scaling efficiency — the BASELINE.md target is
->= 80% efficiency from 1 to N hosts.
+Runs the full end-to-end DistributedMappingEngine (events -> sketch ->
+all-to-all-routed sharded index lookup -> chaining DP -> DTW tile
+evaluation -> decisions/PAF; rawalign_tpu.parallel.dist_engine) over
+meshes of 1..N devices and reports weak-scaling efficiency — the
+BASELINE.md target is >= 80% efficiency from 1 to N hosts.
 
 On a real pod, run one process per host after
 ``rawalign_tpu.parallel.distributed.init()``; here it also runs on the
@@ -14,6 +14,9 @@ virtual CPU mesh for CI:
         python scripts/bench_scaling.py --reads-per-device 8
 
 Prints one JSON line per mesh layout plus a final summary line.
+``--step-only`` benchmarks just the jitted per-chunk step
+(parallel.mesh.build_mapping_step), isolating device scaling from the
+host orchestration.
 """
 
 import argparse
@@ -26,55 +29,59 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--reads-per-device", type=int, default=8)
-    ap.add_argument("--genome-kb", type=int, default=50)
-    ap.add_argument("--n-shard", type=int, default=1,
-                    help="index shards per layout (1 = replicated index)")
-    ap.add_argument("--iters", type=int, default=10)
-    args = ap.parse_args()
-
-    import os
-
-    import jax
-
-    # the axon TPU plugin ignores the JAX_PLATFORMS env var; apply it
-    # programmatically so the virtual CPU mesh invocation works
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-    from rawalign_tpu import config
-    from rawalign_tpu.index import index as dindex
+def _bench_engine(args, jax, ds, idx, io, mo, layouts):
+    from rawalign_tpu.map import engine as dengine
     from rawalign_tpu.parallel import mesh as pmesh
-    from rawalign_tpu.testing import synth
+    from rawalign_tpu.parallel.dist_engine import DistributedMappingEngine
 
-    n_dev = len(jax.devices())
-    ds = synth.make_dataset(
-        seed=11,
-        genome_lengths=[args.genome_kb * 1000],
-        n_reads=args.reads_per_device * n_dev,
-        read_len_bp=(400, 900),
-        noise_pa=1.5,
-    )
-    io = config.IndexOptions()
-    mo = config.MappingOptions()
-    config.set_opt("sensitive", io, mo)
-    mo.max_events_per_chunk = 512
-    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
-
-    if args.n_shard < 1 or args.n_shard & (args.n_shard - 1):
-        ap.error(f"--n-shard must be a power of two (got {args.n_shard})")
-    layouts = []
-    d = 1
-    while d <= n_dev:
-        if d % args.n_shard == 0 or args.n_shard == 1:
-            layouts.append(d)
-        d *= 2
-    if not layouts:
-        ap.error(
-            f"--n-shard {args.n_shard} exceeds available devices ({n_dev})"
+    results = {}
+    for nd in layouts:
+        n_shard = args.n_shard if nd % args.n_shard == 0 else 1
+        n_data = nd // n_shard
+        # weak scaling: reads per device constant
+        n_reads = args.reads_per_device * nd * args.iters
+        reads = [
+            (f"r{i}", ds.reads[i % len(ds.reads)].signal)
+            for i in range(n_reads)
+        ]
+        if nd == 1:
+            eng = dengine.MappingEngine(
+                idx, mo, batch_size=args.reads_per_device
+            )
+        else:
+            mesh = pmesh.make_mesh(n_data, n_shard)
+            eng = DistributedMappingEngine(
+                idx,
+                mo,
+                mesh,
+                batch_size=args.reads_per_device * nd,
+            )
+        # warmup (compiles every round shape)
+        warm = [(n, s) for n, s in reads[: args.reads_per_device * nd]]
+        for _ in eng.map_reads(iter(warm)):
+            pass
+        t0 = time.perf_counter()
+        n_out = sum(1 for _ in eng.map_reads(iter(reads)))
+        dt = time.perf_counter() - t0
+        rps = n_out / dt
+        results[nd] = (rps, nd)
+        print(
+            json.dumps(
+                {
+                    "metric": "engine_reads_per_sec",
+                    "devices": nd,
+                    "mesh": [n_data, n_shard],
+                    "reads": n_out,
+                    "reads_per_sec": round(rps, 1),
+                    "wall_s": round(dt, 2),
+                }
+            )
         )
+    return results
+
+
+def _bench_step(args, jax, ds, idx, io, mo, layouts):
+    from rawalign_tpu.parallel import mesh as pmesh
 
     L = mo.chunk_size
     results = {}
@@ -85,7 +92,6 @@ def main():
         keys_sh, id_sh, ps_sh, bounds = pmesh.shard_index_by_hash_range(
             idx.keys, idx.val_id, idx.val_ps, n_shard
         )
-        # weak scaling: per-device batch constant -> global batch grows
         B = args.reads_per_device * n_data
         chunks = np.zeros((B, L), dtype=np.float32)
         lengths = np.zeros(B, dtype=np.int32)
@@ -105,23 +111,91 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         rps = B / dt
         results[nd] = (rps, n_data)
-        print(json.dumps({
-            "metric": "chunk_steps_per_sec",
-            "devices": nd, "mesh": [n_data, n_shard],
-            "global_batch": B,
-            "reads_per_sec": round(rps, 1),
-            "step_ms": round(dt * 1e3, 2),
-        }))
+        print(
+            json.dumps(
+                {
+                    "metric": "chunk_steps_per_sec",
+                    "devices": nd,
+                    "mesh": [n_data, n_shard],
+                    "global_batch": B,
+                    "reads_per_sec": round(rps, 1),
+                    "step_ms": round(dt * 1e3, 2),
+                }
+            )
+        )
+    return results
 
-    # weak scaling over the data axis: the global batch grows with
-    # n_data (not total devices), so normalize per data row
-    rps0, ndata0 = results[layouts[0]]
-    rpsN, ndataN = results[layouts[-1]]
-    eff = (rpsN / ndataN) / (rps0 / ndata0)
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reads-per-device", type=int, default=8)
+    ap.add_argument("--genome-kb", type=int, default=50)
+    ap.add_argument("--n-shard", type=int, default=1,
+                    help="index shards per layout (1 = replicated index)")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--step-only", action="store_true",
+                    help="benchmark only the jitted per-chunk device step")
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; apply it
+    # programmatically so the virtual CPU mesh invocation works
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    from rawalign_tpu import config
+    from rawalign_tpu.index import index as dindex
+    from rawalign_tpu.testing import synth
+
+    n_dev = len(jax.devices())
+    ds = synth.make_dataset(
+        seed=11,
+        genome_lengths=[args.genome_kb * 1000],
+        n_reads=max(args.reads_per_device * n_dev, 64),
+        read_len_bp=(400, 900),
+        noise_pa=1.5,
+    )
+    io = config.IndexOptions()
+    mo = config.MappingOptions()
+    config.set_opt("sensitive", io, mo)
+    from rawalign_tpu.config import MappingFlag
+
+    mo.set_flag(MappingFlag.DTW_EVALUATE_CHAINS)
+    mo.max_events_per_chunk = 512
+    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
+
+    if args.n_shard < 1 or args.n_shard & (args.n_shard - 1):
+        ap.error(f"--n-shard must be a power of two (got {args.n_shard})")
+    layouts = []
+    d = 1
+    while d <= n_dev:
+        if d % args.n_shard == 0 or args.n_shard == 1:
+            layouts.append(d)
+        d *= 2
+    if not layouts:
+        ap.error(
+            f"--n-shard {args.n_shard} exceeds available devices ({n_dev})"
+        )
+
+    if args.step_only:
+        results = _bench_step(args, jax, ds, idx, io, mo, layouts)
+    else:
+        results = _bench_engine(args, jax, ds, idx, io, mo, layouts)
+
+    # weak scaling: the global batch grows with the scaled axis, so
+    # normalize throughput per scaled unit
+    rps0, n0 = results[layouts[0]]
+    rpsN, nN = results[layouts[-1]]
+    eff = (rpsN / nN) / (rps0 / n0)
     summary = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
-        "unit": f"1->{layouts[-1]} devices (weak scaling)",
+        "unit": f"1->{layouts[-1]} devices (weak scaling, "
+        + ("step" if args.step_only else "engine end-to-end")
+        + ")",
         "vs_baseline": round(eff / 0.8, 3),
     }
     if jax.default_backend() == "cpu":
