@@ -139,8 +139,17 @@ def gen_events(
         l_peak = np.float32(p)
     events[n_ev - 1] = (ps[s_len] - l_prefixsum) / (np.float32(s_len) - l_peak)
 
-    s = np.sum(events, dtype=np.float64)
-    s2 = np.sum(events.astype(np.float64) ** 2)
+    # Bit-parity with revent.c:164-175 requires TWO details: (1) C
+    # squares `events[pi]*events[pi]` in FLOAT (both operands float32,
+    # one rounding) before the double accumulation; (2) sum/sum2
+    # accumulate SEQUENTIALLY in double (numpy's pairwise np.sum rounds
+    # differently). Either alone shifts every normalized event by 1-2
+    # ulp.
+    s = 0.0
+    s2 = 0.0
+    for v in events:
+        s += float(v)
+        s2 += float(np.float32(v) * np.float32(v))
     mean = s / n_ev
     std = np.sqrt(s2 / n_ev - mean * mean)
     return ((events.astype(np.float64) - mean) / std).astype(np.float32)

@@ -92,6 +92,8 @@ class MappingEngine:
         max_carried: int = 1024,
         chain_window: int = 64,
         pipeline_depth: int = 2,
+        dtw_device_max_n: int = 2048,
+        dtw_device_max_b: int = 2048,
     ):
         from rawalign_tpu import runtime
 
@@ -104,6 +106,18 @@ class MappingEngine:
         self.max_carried = max_carried
         self.chain_window = chain_window
         self.pipeline_depth = pipeline_depth
+        # tiles with a side beyond these run on the host C fallback; the
+        # Pallas wavefront kernel is validated bit-exact through 2048
+        # (dtw.cpp:273-520 is size-unbounded; so is the kernel — the cap
+        # only bounds VMEM panel shapes). On CPU the kernel runs in
+        # interpret mode, whose compile time grows with the unrolled
+        # wavefront grid — keep big tiles on the (bit-equivalent) host C
+        # there.
+        if jax.default_backend() == "cpu":
+            dtw_device_max_n = min(dtw_device_max_n, 256)
+            dtw_device_max_b = min(dtw_device_max_b, 256)
+        self.dtw_device_max_n = dtw_device_max_n
+        self.dtw_device_max_b = dtw_device_max_b
         self._keys = jnp.asarray(index.keys)
         self._val_id = jnp.asarray(index.val_id)
         self._val_ps = jnp.asarray(index.val_ps)
@@ -591,6 +605,8 @@ class MappingEngine:
             self._ref_cat_dev,
             ev_cat,
             self._ref_cat_host,
+            device_max_n=self.dtw_device_max_n,
+            device_max_b=self.dtw_device_max_b,
         )
 
     # ------------------------------------------------------------------

@@ -246,6 +246,8 @@ class DistributedMappingEngine(MappingEngine):
             self._ref_cat_dev,
             ev_cat,
             self._ref_cat_host,
+            device_max_n=self.dtw_device_max_n,
+            device_max_b=self.dtw_device_max_b,
             mesh=self.mesh,
             tg=self._dtw_tg,
         )

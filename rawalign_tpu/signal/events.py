@@ -307,10 +307,16 @@ def detect_events_batch(
     )
     events = jnp.where(in_range, events, 0.0)
 
-    # z-normalize per read (revent.c:179-184)
+    # z-normalize per read (revent.c:179-184). The reference computes
+    # var = E[x^2] - mean^2 in DOUBLE; in float32 that formula loses
+    # ~11 bits to cancellation (x ~ 95 pA, x^2 ~ 9e3), drifting every
+    # normalized event by up to ~3e-5 vs the compiled C. TPUs have no
+    # f64, so use the cancellation-free two-pass form E[(x-mean)^2],
+    # which lands within a few f32 ulp of the C double result.
     cnt = jnp.maximum(n_ev_capped, 1).astype(jnp.float32)
     mean = jnp.sum(events, axis=1) / cnt
-    var = jnp.sum(events * events, axis=1) / cnt - mean * mean
+    centered = jnp.where(in_range, events - mean[:, None], 0.0)
+    var = jnp.sum(centered * centered, axis=1) / cnt
     std = jnp.sqrt(jnp.maximum(var, 0.0))
     std = jnp.where(std == 0, 1.0, std)
     norm = (events - mean[:, None]) / std[:, None]

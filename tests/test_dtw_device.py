@@ -90,8 +90,12 @@ def test_indexed_dispatch_matches_golden():
     Lref = ref_cat.size
     rows, want = [], []
     for _ in range(60):
-        tl = int(rng.integers(2, 120))
-        ql = int(rng.integers(2, 120))
+        # through the 256 size class (the kernel is size-unbounded; the
+        # 2048 classes are validated on real TPU where compiles are
+        # cheap — interpret-mode unrolls the wavefront grid, so CI stays
+        # at <=256)
+        tl = int(rng.integers(2, 250))
+        ql = int(rng.integers(2, 250))
         t0 = int(rng.integers(0, Lref - tl))
         q0 = int(rng.integers(0, ev_cat.size - ql))
         r = max(1, int(ql * 0.10))
