@@ -319,6 +319,7 @@ def _panels_from_descs(src, d, *, dpw: int, max_n: int, lb2: int):
 def dtw_banded_multi_indexed(
     ref_cat: jax.Array,  # (Lref,) f32 resident reference value pool
     blob: jax.Array,  # (lev + 9*sum(Tp),) f32: [event pool | bitcast descs]
+    ev: jax.Array | None = None,  # resident event pool (then lev == 0)
     *,
     metas: tuple,  # ((dpw, max_n, lb2, Tp), ...) per class batch
     lev: int,
@@ -332,8 +333,17 @@ def dtw_banded_multi_indexed(
     device runtime serializes transfers at ~30-190 ms each regardless of
     size. Panels are gathered device-side from [ref_cat | event pool]
     (event bases pre-offset by len(ref_cat) on the host); the
-    exclude_last correction is applied on device."""
-    src = jnp.concatenate([ref_cat, blob[:lev]])
+    exclude_last correction is applied on device.
+
+    With ``ev`` (a DEVICE-RESIDENT event pool, e.g. the engine's event
+    history buffer) the round's event values never cross the link at
+    all: blob carries only the descriptors (lev must be 0) and event
+    bases index [ref_cat | ev.ravel()]."""
+    if ev is not None:
+        assert lev == 0
+        src = jnp.concatenate([ref_cat, ev.reshape(-1)])
+    else:
+        src = jnp.concatenate([ref_cat, blob[:lev]])
     ints = jax.lax.bitcast_convert_type(blob[lev:], jnp.int32)
     outs = []
     off = 0

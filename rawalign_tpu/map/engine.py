@@ -56,6 +56,7 @@ class _ReadState:
         "chunks_done",
         "events",
         "offset",
+        "ev_total",
         "chains",
         "done",
         "map_time",
@@ -69,6 +70,10 @@ class _ReadState:
         self.chunks_done = 0
         self.events = np.zeros(0, dtype=np.float32)
         self.offset = 0
+        # total events ever detected for this read (= write offset into
+        # the device history row; differs from `offset`, which advances
+        # only on chunks that pass the min_events gate)
+        self.ev_total = 0
         self.chains: list[gchain.Chain] = []
         self.done = False
         # accumulated wall time of the mapping rounds this read was live
@@ -92,6 +97,7 @@ class MappingEngine:
         max_carried: int = 1024,
         chain_window: int = 64,
         pipeline_depth: int = 2,
+        seeds_out: int = 768,
         dtw_device_max_n: int = 2048,
         dtw_device_max_b: int = 2048,
     ):
@@ -142,19 +148,29 @@ class MappingEngine:
         ne = opt.max_events_per_chunk
         SENT = np.int32(0x7FFFFFFF)
         self._SENT = SENT
+        # Host event copies are kept only when something host-side needs
+        # the VALUES (the CIGAR traceback); otherwise events live in a
+        # per-slot device history buffer and never cross the link — the
+        # tunneled device runtime moves ~45 MB/s, so the per-round event
+        # download + DTW event-pool upload (~16 KB/read) dominated.
+        self._events_on_host = bool(opt.flag & MappingFlag.DTW_OUTPUT_CIGAR)
+        # seed slots kept after device-side compaction (seeds with hits
+        # are sorted first, original order preserved); rounds carry a
+        # dropped-hits counter for the (rare) overflow
+        self._ns_out = min(seeds_out, ne)
+        self._hmax = opt.max_num_chunk * ne
 
-        @jax.jit
-        def _stage1(keys, packed_in):
-            """Events + sketch + index lookup BOUNDS. Hit expansion and
-            the anchor sort run on the HOST: the device's sort machinery
-            measured ~10M elem/s and per-element gathers ~90M elem/s,
-            while the real hit lists are tiny (hundreds per read).
+        def _stage1(keys, packed_in, hist, hist_off):
+            """Events + sketch + index lookup BOUNDS (+ device event
+            history append). Hit expansion and the anchor sort run on
+            the HOST: the real hit lists are tiny (hundreds per read).
 
-            One packed f32 array each way: the tunneled device runtime
-            serializes transfers at ~30-190 ms EACH regardless of size,
-            so the 2-in/7-out layout cost ~9 round trips per call; the
-            packed layout costs 2 (int outputs are bitcast into the f32
-            payload and viewed back on the host)."""
+            One packed f32 array each way (int outputs bitcast into the
+            f32 payload): the tunneled device runtime serializes
+            transfers at ~30 ms + ~45 MB/s EACH regardless of count, so
+            both the call count and the byte count matter. Seed slots
+            are compacted device-side (hits-first stable sort) to
+            ``ns_out`` columns."""
             chunks = packed_in[:, :-1]
             lengths = packed_in[:, -1].astype(jnp.int32)
             ev = devents.detect_events_batch(
@@ -175,19 +191,48 @@ class MappingEngine:
                 seeds = dsketch.sketch_events_batch(
                     ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
                 )
-            flat = seeds.hashes.reshape(-1)
-            lo = jnp.searchsorted(keys, flat, side="left").reshape(
-                seeds.hashes.shape
+            # device-side seed compaction BEFORE the table lookup: a
+            # cheap (flag, idx) permutation sort + gathers — (flag, idx)
+            # pairs are unique, so the result is deterministic and keeps
+            # valid seeds in original order (the host expansion then
+            # produces anchors in the exact order the uncompacted path
+            # did) — and searchsorted runs on ns_out columns instead of
+            # NE (it was the single most expensive op of this stage)
+            B_, NE_ = seeds.hashes.shape
+            flag = (~seeds.valid).astype(jnp.int32)
+            idx0 = jnp.broadcast_to(
+                jnp.arange(NE_, dtype=jnp.int32)[None, :], (B_, NE_)
+            )
+            _f, perm = jax.lax.sort((flag, idx0), dimension=1, num_keys=1)
+            perm_c = perm[:, : self._ns_out]
+            h_c = jnp.take_along_axis(seeds.hashes, perm_c, axis=1)
+            qp_c = jnp.take_along_axis(
+                seeds.qpos.astype(jnp.int32), perm_c, axis=1
+            )
+            v_c = jnp.take_along_axis(seeds.valid, perm_c, axis=1)
+            n_valid = jnp.sum(seeds.valid, axis=1).astype(jnp.int32)
+            # seeds (not hits — they were never looked up) beyond ns_out
+            n_compact_dropped = jnp.maximum(n_valid - self._ns_out, 0)
+            flat = h_c.reshape(-1)
+            lo_c = jnp.searchsorted(keys, flat, side="left").reshape(
+                h_c.shape
             )
             hi = jnp.searchsorted(keys, flat, side="right").reshape(
-                seeds.hashes.shape
+                h_c.shape
             )
-            count = (hi - lo).astype(jnp.int32)
+            count = (hi - lo_c).astype(jnp.int32)
             over = count > max_occ
             n_occ_dropped = jnp.sum(
-                jnp.where(seeds.valid & over, count, 0), axis=1
+                jnp.where(v_c & over, count, 0), axis=1
             ).astype(jnp.int32)
-            count = jnp.where(seeds.valid & ~over, count, 0)
+            cnt_c = jnp.where(v_c & ~over, count, 0)
+            lo_c = lo_c.astype(jnp.int32)
+            # append this chunk's events to the per-slot history (the
+            # construction bounds hist_off + ne <= hmax: each of the
+            # <= max_num_chunk chunks appends <= ne events)
+            hist = jax.vmap(
+                lambda h, e, o: jax.lax.dynamic_update_slice(h, e, (o,))
+            )(hist, ev.values, hist_off)
             bc = lambda x: jax.lax.bitcast_convert_type(
                 x.astype(jnp.int32), jnp.float32
             )
@@ -196,21 +241,20 @@ class MappingEngine:
                     ev.n_events.astype(jnp.int32),
                     ev.n_dropped.astype(jnp.int32),
                     n_occ_dropped,
+                    n_compact_dropped.astype(jnp.int32),
                 ],
                 axis=1,
             )
-            return jnp.concatenate(
-                [
-                    ev.values,
-                    bc(lo.astype(jnp.int32)),
-                    bc(count),
-                    bc(seeds.qpos.astype(jnp.int32)),
-                    bc(scalars),
-                ],
-                axis=1,
-            )
+            parts = [ev.values] if self._events_on_host else []
+            parts += [bc(lo_c), bc(cnt_c), bc(qp_c), bc(scalars)]
+            return jnp.concatenate(parts, axis=1), hist
 
-        self._stage1 = lambda packed_in: _stage1(self._keys, packed_in)
+        _stage1_jit = jax.jit(_stage1, donate_argnums=(2,))
+        self._stage1 = lambda packed_in, hist, hist_off: _stage1_jit(
+            self._keys, packed_in, hist, hist_off
+        )
+        # per-pipeline-group device event-history buffers (B, hmax)
+        self._group_hist: dict[int, jax.Array] = {}
         # host copies for hit expansion
         self._h_val_id = np.asarray(index.val_id)
         self._h_val_ps = np.asarray(index.val_ps)
@@ -269,6 +313,7 @@ class MappingEngine:
 
         self._chain_dp = _chain_packed
         self.counters = {
+            "seed_hits_compact_dropped": 0,
             "seed_hits_dropped": 0,
             "anchors_dropped": 0,
             "events_dropped": 0,
@@ -301,7 +346,12 @@ class MappingEngine:
         most of it)."""
         it = iter(reads)
         depth = max(1, self.pipeline_depth)
-        group_slots: list[list[_ReadState]] = [[] for _ in range(depth)]
+        # slots are POSITION-STABLE: a read keeps its slot index for its
+        # whole life (its device event-history row), freed slots are
+        # refilled in place (continuous batching)
+        group_slots: list[list[_ReadState | None]] = [
+            [None] * self.batch_size for _ in range(depth)
+        ]
         gens: list = [None] * depth
         exhausted = False
         while True:
@@ -309,28 +359,26 @@ class MappingEngine:
             for g in range(depth):
                 if gens[g] is None:
                     slots = group_slots[g]
-                    # retire finished reads
-                    still = []
-                    for st in slots:
-                        if (
+                    for i, st in enumerate(slots):
+                        if st is not None and (
                             st.done
                             or st.chunk_ptr >= st.qlen
                             or st.chunks_done >= self.opt.max_num_chunk
                         ):
                             yield self._emit(st)
-                        else:
-                            still.append(st)
-                    slots = still
-                    while not exhausted and len(slots) < self.batch_size:
-                        try:
-                            name, sig = next(it)
-                        except StopIteration:
-                            exhausted = True
-                            break
-                        slots.append(_ReadState(name, sig))
-                    group_slots[g] = slots
-                    if slots:
-                        gens[g] = self._round_gen(slots)
+                            slots[i] = None
+                    if not exhausted:
+                        for i in range(self.batch_size):
+                            if slots[i] is not None:
+                                continue
+                            try:
+                                name, sig = next(it)
+                            except StopIteration:
+                                exhausted = True
+                                break
+                            slots[i] = _ReadState(name, sig)
+                    if any(st is not None for st in slots):
+                        gens[g] = self._round_gen(slots, g)
                 if gens[g] is not None:
                     progressed = True
                     try:
@@ -341,12 +389,13 @@ class MappingEngine:
                 break
 
     # ------------------------------------------------------------------
-    def _round_gen(self, slots: list[_ReadState]):
+    def _round_gen(self, slots: list, g: int):
         opt = self.opt
         pt = self.phase_times
         pt["rounds"] += 1
         t_round0 = time.perf_counter()
         t_mark = t_round0
+        n_live = sum(1 for st in slots if st is not None)
 
         def charge_round():
             # Attribute each live read its share of the round's wall time
@@ -354,9 +403,10 @@ class MappingEngine:
             # tag the eval harness keys off (rmap.cpp:684-694,731) means
             # per-read mapping time, and the batched round's cost is
             # amortized across every read it advanced.
-            dt = (time.perf_counter() - t_round0) / max(1, len(slots))
+            dt = (time.perf_counter() - t_round0) / max(1, n_live)
             for st in slots:
-                st.map_time += dt
+                if st is not None:
+                    st.map_time += dt
 
         def mark(phase):
             nonlocal t_mark
@@ -369,34 +419,55 @@ class MappingEngine:
         L = opt.chunk_size
         SENT = self._SENT
         packed_in = np.zeros((B, L + 1), dtype=np.float32)
+        hist_off = np.zeros(B, dtype=np.int32)
         for i, st in enumerate(slots):
+            if st is None:
+                continue
             part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
             packed_in[i, : part.size] = part
             packed_in[i, L] = part.size
+            hist_off[i] = st.ev_total
         mark("build_inputs")
 
-        stage1_fut = self._stage1(packed_in)  # async dispatch
+        hist = self._group_hist.get(g)
+        if hist is None:
+            hist = jnp.zeros((B, self._hmax), jnp.float32)
+        stage1_fut, hist_new = self._stage1(packed_in, hist, hist_off)
+        self._group_hist[g] = hist_new
+        # start the device->host fetch NOW: device_get only issues the
+        # transfer RPC when called, so without this the ~40 ms link
+        # latency serializes across pipeline groups instead of hiding
+        # behind their host work
+        stage1_fut.copy_to_host_async()
         yield  # other groups' host work overlaps this device work
         packed = jax.device_get(stage1_fut)
         pi = packed.view(np.int32)
         ne = opt.max_events_per_chunk
-        NS = (packed.shape[1] - ne - 3) // 3
-        ev_values = packed[:, :ne]
-        h_lo = pi[:, ne : ne + NS]
-        h_count = pi[:, ne + NS : ne + 2 * NS]
-        h_qpos = pi[:, ne + 2 * NS : ne + 3 * NS]
-        ev_counts = pi[:, -3]
-        ev_dropped = pi[:, -2]
-        hit_dropped = pi[:, -1]
+        NS = self._ns_out
+        base = ne if self._events_on_host else 0
+        ev_values = packed[:, :ne] if self._events_on_host else None
+        h_lo = pi[:, base : base + NS]
+        h_count = pi[:, base + NS : base + 2 * NS]
+        h_qpos = pi[:, base + 2 * NS : base + 3 * NS]
+        ev_counts = pi[:, -4]
+        ev_dropped = pi[:, -3]
+        hit_dropped = pi[:, -2]
+        compact_dropped = pi[:, -1]
         mark("stage_chain")
         self.counters["events_dropped"] += int(ev_dropped.sum())
         self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
+        self.counters["seed_hits_compact_dropped"] += int(
+            compact_dropped.sum()
+        )
 
         chain_this_round = ev_counts >= opt.min_events
-        chain_this_round[len(slots) :] = False
         for i, st in enumerate(slots):
+            if st is None:
+                chain_this_round[i] = False
+                continue
             n_ev = int(ev_counts[i])
-            if n_ev:
+            st.ev_total += n_ev
+            if n_ev and self._events_on_host:
                 st.events = np.concatenate([st.events, ev_values[i, :n_ev]])
 
         # host: expand hit lists (tiny), merge carried anchors, sort, pad
@@ -471,12 +542,16 @@ class MappingEngine:
                     st.name,
                     st.offset,
                     int(ev_counts[i]),
-                    int(h_count[i].sum()) + int(hit_dropped[i]),
+                    int(h_count[i].sum())
+                    + int(hit_dropped[i])
+                    + int(compact_dropped[i]),
                 )
         mark("host_anchors")
 
         if not chain_this_round.any():
             for st in slots:
+                if st is None:
+                    continue
                 st.chunk_ptr += L
                 st.chunks_done += 1
             mark("finalize")
@@ -494,6 +569,7 @@ class MappingEngine:
         packed_c[:, 2 * a_round : 3 * a_round] = qry_b[:, :a_round]
         packed_c[:, 3 * a_round] = n_anch
         dp_fut = self._chain_dp(packed_c)
+        dp_fut.copy_to_host_async()  # see the stage1 note
         yield
         dp_out = jax.device_get(dp_fut)
         scores = dp_out[:, :a_round]
@@ -530,9 +606,14 @@ class MappingEngine:
                 # events grow before chaining in this batched engine, so
                 # the read's full event array is already current here
                 st = slots[i]
-                ev_base = Lref + ev_off
-                ev_parts.append(st.events)
-                ev_off += st.events.size
+                if self._events_on_host:
+                    ev_base = Lref + ev_off
+                    ev_parts.append(st.events)
+                    ev_off += st.events.size
+                else:
+                    # resident mode: tiles index this slot's device
+                    # event-history row directly
+                    ev_base = Lref + i * self._hmax
                 for ci, ch in enumerate(chains):
                     ref_base = self._sig_base[
                         (ch.strand, ch.reference_sequence_index)
@@ -551,7 +632,16 @@ class MappingEngine:
                 if ev_parts
                 else np.zeros(0, np.float32)
             )
-            pending = self._dtw_submit(da, ev_cat)
+            pending = self._dtw_submit(
+                da,
+                ev_cat,
+                ev_dev=(
+                    None if self._events_on_host else self._group_hist[g]
+                ),
+                ev_fetch=(
+                    None if self._events_on_host else self._make_ev_fetch(g)
+                ),
+            )
             mark("dtw_prep")
             yield
             costs = tiles.dtw_collect(pending)
@@ -576,6 +666,8 @@ class MappingEngine:
                     per_read_chains[i] = post
 
         for i, st in enumerate(slots):
+            if st is None:
+                continue
             st.chunk_ptr += L
             st.chunks_done += 1
             if not chain_this_round[i]:
@@ -592,7 +684,9 @@ class MappingEngine:
         charge_round()
 
     # ------------------------------------------------------------------
-    def _dtw_submit(self, da: np.ndarray, ev_cat: np.ndarray):
+    def _dtw_submit(
+        self, da: np.ndarray, ev_cat: np.ndarray, *, ev_dev=None, ev_fetch=None
+    ):
         """Dispatch one round's DTW tile descriptors (overridable hook:
         the distributed engine shards the tile axis over its mesh)."""
         return tiles.dtw_submit_indexed(
@@ -607,7 +701,21 @@ class MappingEngine:
             self._ref_cat_host,
             device_max_n=self.dtw_device_max_n,
             device_max_b=self.dtw_device_max_b,
+            ev_dev=ev_dev,
+            ev_fetch=ev_fetch,
         )
+
+    # ------------------------------------------------------------------
+    def _make_ev_fetch(self, g: int):
+        """Host accessor into group g's device event history, for the
+        (rare) oversized tiles that fall back to the host DTW."""
+
+        def fetch(idx: int, ln: int) -> np.ndarray:
+            hist = self._group_hist[g]
+            row, col = divmod(int(idx), self._hmax)
+            return np.asarray(hist[row, col : col + ln])
+
+        return fetch
 
     # ------------------------------------------------------------------
     def _decision(self, st: _ReadState) -> bool:

@@ -341,6 +341,8 @@ def dtw_submit_indexed(
     device_max_b: int = 128,
     mesh=None,
     tg: int = 128,
+    ev_dev=None,
+    ev_fetch=None,
 ) -> PendingDtw:
     """Descriptor-based batched DTW dispatch: the a side must already be
     the longer sequence; bases index the combined [ref_cat | ev_cat] pool
@@ -428,6 +430,25 @@ def dtw_submit_indexed(
                 for k, (s0c, lnc, _off) in enumerate(packed_chunks)
             ]
             packed_chunks = []
+        elif ev_dev is not None:
+            # device-resident event pool: only descriptors cross the link
+            blob = np.zeros(
+                sum(9 * tp for *_rest, tp in metas), dtype=np.float32
+            )
+            off = 0
+            for d in descs:
+                flat = d.reshape(-1)
+                blob[off : off + flat.size] = flat.view(np.float32)
+                off += flat.size
+            packed = dtw_pallas.dtw_banded_multi_indexed(
+                ref_cat_dev,
+                blob,
+                ev_dev,
+                metas=tuple(metas),
+                lev=0,
+                interpret=jax.default_backend() == "cpu",
+            )
+            packed.copy_to_host_async()
         else:
             blob = np.zeros(
                 Lp + sum(9 * tp for *_rest, tp in metas), dtype=np.float32
@@ -445,6 +466,10 @@ def dtw_submit_indexed(
                 lev=Lp,
                 interpret=jax.default_backend() == "cpu",
             )
+            # begin the device->host fetch immediately so the link
+            # latency overlaps the caller's host work (dtw_collect would
+            # otherwise issue the transfer only when it blocks)
+            packed.copy_to_host_async()
     large_costs = np.zeros(0, np.float32)
     if large_idx.size:
         Lref = ref_cat_host.size
@@ -452,6 +477,8 @@ def dtw_submit_indexed(
         def window(base, ln):
             if base < Lref:
                 return ref_cat_host[base : base + ln]
+            if ev_fetch is not None:  # resident-event mode (rare path)
+                return ev_fetch(base - Lref, ln)
             return ev_cat[base - Lref : base - Lref + ln]
 
         sub = [

@@ -71,6 +71,9 @@ class DistributedMappingEngine(MappingEngine):
         bs = kw.pop("batch_size", 64)
         kw["batch_size"] = -(-bs // n_dev) * n_dev
         super().__init__(index, opt, **kw)
+        # the sharded DTW path assembles a replicated event pool on the
+        # host, so events stay host-side in distributed mode
+        self._events_on_host = True
         # DTW lane group per device: 128 tiles/lane-group on TPU; small
         # in interpret mode (CPU) where lanes are emulated
         self._dtw_tg = 8 if jax.default_backend() == "cpu" else 128
@@ -87,6 +90,7 @@ class DistributedMappingEngine(MappingEngine):
         opt = self.opt
         ne = opt.max_events_per_chunk
         max_occ = self.max_occ
+        ns_out = self._ns_out
         mesh = self.mesh
         S = mesh.shape["shard"]
         keys_sh, n_real, offsets, cut_starts = pmesh.shard_keys_for_routing(
@@ -117,8 +121,25 @@ class DistributedMappingEngine(MappingEngine):
                 seeds = dsketch.sketch_events_batch(
                     ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
                 )
-            h = seeds.hashes  # (b_loc, NS) uint32
-            b_loc, NS = h.shape
+            # device-side seed compaction BEFORE routing (identical to
+            # the single-device stage1: permutation sort keeps original
+            # order) — the all_to_all grids shrink from NE to ns_out
+            h0 = seeds.hashes  # (b_loc, NE) uint32
+            b_loc, NE_ = h0.shape
+            flag = (~seeds.valid).astype(jnp.int32)
+            idx0 = jnp.broadcast_to(
+                jnp.arange(NE_, dtype=jnp.int32)[None, :], (b_loc, NE_)
+            )
+            _f, perm = jax.lax.sort((flag, idx0), dimension=1, num_keys=1)
+            perm_c = perm[:, :ns_out]
+            h = jnp.take_along_axis(h0, perm_c, axis=1)
+            qp_c = jnp.take_along_axis(
+                seeds.qpos.astype(jnp.int32), perm_c, axis=1
+            )
+            v_c = jnp.take_along_axis(seeds.valid, perm_c, axis=1)
+            n_valid = jnp.sum(seeds.valid, axis=1).astype(jnp.int32)
+            n_compact_dropped = jnp.maximum(n_valid - ns_out, 0)
+            NS = ns_out
             # owner shard of every hash (cut_starts is globally sorted)
             owner = jnp.clip(
                 jnp.searchsorted(
@@ -131,7 +152,7 @@ class DistributedMappingEngine(MappingEngine):
             # all-to-all OUT: one masked (b_loc, NS) hash grid per owner
             dest = jax.lax.broadcasted_iota(jnp.int32, (S, b_loc, NS), 0)
             routed = jnp.where(
-                (owner[None] == dest) & seeds.valid[None], h[None], DEAD
+                (owner[None] == dest) & v_c[None], h[None], DEAD
             )
             routed = jax.lax.all_to_all(
                 routed, "shard", split_axis=0, concat_axis=0
@@ -163,9 +184,10 @@ class DistributedMappingEngine(MappingEngine):
             # occurrence-cap policy identical to the single-device stage
             over = cnt_b > max_occ
             n_occ_dropped = jnp.sum(
-                jnp.where(seeds.valid & over, cnt_b, 0), axis=1
+                jnp.where(v_c & over, cnt_b, 0), axis=1
             ).astype(jnp.int32)
-            count = jnp.where(seeds.valid & ~over, cnt_b, 0)
+            cnt_c = jnp.where(v_c & ~over, cnt_b, 0)
+            lo_c = glo_b.astype(jnp.int32)
             bc = lambda x: jax.lax.bitcast_convert_type(
                 x.astype(jnp.int32), jnp.float32
             )
@@ -174,11 +196,12 @@ class DistributedMappingEngine(MappingEngine):
                     ev.n_events.astype(jnp.int32),
                     ev.n_dropped.astype(jnp.int32),
                     n_occ_dropped,
+                    n_compact_dropped.astype(jnp.int32),
                 ],
                 axis=1,
             )
             return jnp.concatenate(
-                [ev.values, bc(glo_b), bc(count), bc(seeds.qpos), bc(scalars)],
+                [ev.values, bc(lo_c), bc(cnt_c), bc(qp_c), bc(scalars)],
                 axis=1,
             )
 
@@ -199,7 +222,13 @@ class DistributedMappingEngine(MappingEngine):
         ksh_d = jax.device_put(keys_sh, NamedSharding(mesh, P("shard", None)))
         nr_d = jax.device_put(n_real, NamedSharding(mesh, P("shard")))
         off_d = jax.device_put(offsets, NamedSharding(mesh, P("shard")))
-        self._stage1 = lambda packed_in: f(packed_in, ksh_d, nr_d, off_d)
+        # same call shape as the single-device stage1; events stay on
+        # the host in distributed mode, so the history buffer passes
+        # through untouched
+        self._stage1 = lambda packed_in, hist, hist_off: (
+            f(packed_in, ksh_d, nr_d, off_d),
+            hist,
+        )
 
     # ------------------------------------------------------------------
     def _build_chain_sharded(self) -> None:
@@ -235,7 +264,11 @@ class DistributedMappingEngine(MappingEngine):
         )
 
     # ------------------------------------------------------------------
-    def _dtw_submit(self, da: np.ndarray, ev_cat: np.ndarray):
+    def _dtw_submit(
+        self, da: np.ndarray, ev_cat: np.ndarray, *, ev_dev=None, ev_fetch=None
+    ):
+        # distributed mode always assembles the replicated host event
+        # pool (events_on_host=True), so ev_dev/ev_fetch are unused
         return tiles.dtw_submit_indexed(
             da[:, 0].astype(np.int32),
             da[:, 1].astype(np.int32),

@@ -75,6 +75,26 @@ def _sketch_scan(events, n_events, e, q, lq):
     idx = jnp.arange(NE, dtype=jnp.int32)
     in_range = idx[None, :] < n_events[:, None]
 
+    if jax.default_backend() != "cpu" and NE < (1 << 13):
+        # fused on-chip kernel (this scan pays ~10 us dispatch/step)
+        from rawalign_tpu.seeds import sketch_pallas
+
+        accs_t, emits_t, oldest_t, cnts_t = sketch_pallas.sketch_scan_pallas(
+            events.astype(jnp.float32),
+            tq,
+            n_events.astype(jnp.int32),
+            e=e,
+            quant_bit=quant_bit,
+        )
+        hashes = hash64_u32(accs_t)
+        return (
+            jnp.where(emits_t, hashes, 0),
+            emits_t,
+            jnp.broadcast_to(idx[None, :], (B, NE)),
+            oldest_t,
+            cnts_t,
+        )
+
     def step(carry, xs):
         last_val, acc, kept_cnt, ring = carry
         val, tqv, valid, i = xs
