@@ -44,14 +44,17 @@ def bench_mapping(ds, idx, mo):
 
     reads = [(r.name, r.signal) for r in ds.reads]
     ds_reads = ds.reads
-    engine = MappingEngine(idx, mo, batch_size=64)
+    engine = MappingEngine(idx, mo, batch_size=64, pipeline_depth=4)
     # warmup pass over the FULL read set: compiles every bucket shape
     # the measured pass will hit (a partial warmup leaves multi-second
     # remote compiles inside the measurement)
     _ = list(engine.map_reads(reads))
+    for k in engine.phase_times:
+        engine.phase_times[k] = 0.0 if k != "rounds" else 0
     t0 = time.perf_counter()
     results = list(engine.map_reads(reads))
     dt = time.perf_counter() - t0
+    bench_mapping.phase_times = dict(engine.phase_times)
     n_mapped = sum(1 for r in results if r.mapped)
     by_name = {r.name: r for r in ds.reads}
     n_correct = 0
@@ -183,6 +186,38 @@ def main():
     else:
         vs_baseline = 0.0
 
+    # true end-to-end baseline: the REAL reference binary measured on
+    # the SAME dataset by tools/ref_baseline.py (REF_BASELINE.json,
+    # built via scripts/build_reference.sh)
+    e2e = {}
+    try:
+        import os
+
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "REF_BASELINE.json")
+        ) as f:
+            rb = json.load(f)
+        e2e = {
+            "reference_reads_per_sec_1t": rb["reads_per_sec_1t"],
+            "reference_reads_per_sec_host": rb["by_threads"][
+                str(rb["host_nproc"])
+            ]["reads_per_sec"],
+            "vs_reference_1t_end_to_end": round(
+                reads_per_sec / rb["reads_per_sec_1t"], 3
+            ),
+            "vs_baseline_32t_est_end_to_end": round(
+                reads_per_sec / rb["reads_per_sec_32t_est"], 4
+            ),
+            "note": (
+                "this dev setup tunnels the TPU at ~30 ms + ~16-45 MB/s "
+                "per transfer; phase breakdown shows the link share"
+            ),
+        }
+    except Exception:
+        e2e = {"reference_binary": "not measured (run "
+               "scripts/build_reference.sh + tools/ref_baseline.py)"}
+
     print(
         json.dumps(
             {
@@ -195,6 +230,12 @@ def main():
                     "mapped_frac": round(mapped_frac, 3),
                     "correct_frac": round(correct_frac, 3),
                     "mapping_wall_s": round(map_dt, 2),
+                    "phase_times_s": {
+                        k: round(v, 3)
+                        for k, v in getattr(
+                            bench_mapping, "phase_times", {}
+                        ).items()
+                    },
                     "dtw_device_cells_per_sec": int(dev_cups),
                     "dtw_reference_c_1core_cells_per_sec": (
                         int(ref_cups) if ref_cups else None
@@ -203,6 +244,7 @@ def main():
                         "banded-DTW cell-updates/s vs reference dtw.cpp "
                         "single-core x32 (proxy for 32-thread CPU RawAlign)"
                     ),
+                    "end_to_end_baseline": e2e,
                 },
             }
         )
