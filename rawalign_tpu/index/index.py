@@ -135,67 +135,141 @@ class RawIndex:
         )
 
 
+def _build_seq(rid, seq, pore_vals, opt, use_native):
+    """Signals + sorted packed seeds for one sequence (one parallel job;
+    replaces steps 1-2 of the reference's ri_idx_gen pipeline,
+    rawindex.cpp:128-179)."""
+    from rawalign_tpu import native
+
+    codes = seq2sig.seq_to_codes(seq)
+
+    def strand_job(strand):
+        sig = seq2sig.seq_to_sig(codes, pore_vals, opt.k, strand)
+        if not sig.size:
+            return sig, None, None
+        if use_native:
+            if opt.w:
+                h, p = native.sketch_min(sig, opt.w, opt.e, opt.q, opt.lq)
+            else:
+                h, p = native.sketch_reg(sig, opt.e, opt.q, opt.lq)
+        else:
+            seeds = gsketch.sketch(
+                sig, rid, strand, opt.w, opt.e, opt.n, opt.q, opt.lq, opt.k
+            )
+            h = (seeds[:, 0] >> np.uint64(gsketch.RI_HASH_SHIFT)).astype(
+                np.uint32
+            )
+            p = (
+                (seeds[:, 1] & np.uint64(0xFFFFFFFF))
+                >> np.uint64(gsketch.RI_POS_SHIFT)
+            ).astype(np.int64)
+        ps = (p.astype(np.uint32) << np.uint32(1)) | np.uint32(strand)
+        return sig, h.astype(np.uint32), ps
+
+    if len(codes) > 1_000_000:
+        # long sequences: the two strands in parallel (numpy + the
+        # native sketcher release the GIL)
+        import concurrent.futures
+
+        with concurrent.futures.ThreadPoolExecutor(2) as pool:
+            f1 = pool.submit(strand_job, 1)
+            f0 = pool.submit(strand_job, 0)
+            (sig1, h1, ps1), (sig0, h0, ps0) = f1.result(), f0.result()
+    else:
+        sig1, h1, ps1 = strand_job(1)
+        sig0, h0, ps0 = strand_job(0)
+    hs = [h for h in (h1, h0) if h is not None]
+    pss = [p for p in (ps1, ps0) if p is not None]
+    if hs:
+        h = np.concatenate(hs) if len(hs) > 1 else hs[0]
+        ps = np.concatenate(pss) if len(pss) > 1 else pss[0]
+        # ONE radix sort of (hash << 32 | pos<<1|strand) replaces this
+        # sequence's share of the global 3-key lexsort: within a hash the
+        # y order is ascending exactly like the reference's per-bucket
+        # radix sort (rawindex.cpp:233). (hash, ps) pairs are unique per
+        # sequence, so plain sort order == (hash, id, ps) order.
+        packed = (h.astype(np.uint64) << np.uint64(32)) | ps.astype(
+            np.uint64
+        )
+        packed.sort(kind="stable")  # radix for integer dtypes
+    else:
+        packed = np.zeros(0, np.uint64)
+    return sig1, sig0, packed
+
+
 def build_index(
-    seqs: list[Sequence], pore_vals: np.ndarray, opt: IndexOptions
+    seqs: list[Sequence], pore_vals: np.ndarray, opt: IndexOptions,
+    n_threads: int | None = None,
 ) -> RawIndex:
     """Host-side index build (replaces ri_idx_gen + ri_idx_post,
-    rawindex.cpp:99-250): per sequence, expected-signal conversion on both
-    strands + sketching, then one global lexsort."""
+    rawindex.cpp:99-250): per sequence (in a thread pool — NumPy and the
+    native sketcher release the GIL, matching the reference's 3-step
+    kt_pipeline + kt_for build parallelism), expected-signal conversion
+    on both strands + sketching + a per-sequence packed radix sort; a
+    single stable merge pass by hash replaces ri_idx_post for multi-
+    sequence references (stability preserves the per-sequence (id, ps)
+    order within equal hashes)."""
+    import concurrent.futures
+    import os
+
     from rawalign_tpu import native
 
     use_native = native.available()
-    names: list[str] = []
-    lens: list[int] = []
-    sig_lens: list[int] = []
-    sigs1: list[np.ndarray] = []
-    sigs0: list[np.ndarray] = []
-    key_blocks: list[np.ndarray] = []
-    id_blocks: list[np.ndarray] = []
-    ps_blocks: list[np.ndarray] = []
-    for rid, s in enumerate(seqs):
-        names.append(s.name)
-        lens.append(len(s.seq))
-        codes = seq2sig.seq_to_codes(s.seq)
-        sig1 = seq2sig.seq_to_sig(codes, pore_vals, opt.k, 1)
-        sig0 = seq2sig.seq_to_sig(codes, pore_vals, opt.k, 0)
-        sigs1.append(sig1)
-        sigs0.append(sig0)
-        sig_lens.append(sig1.size)
-        for strand, sig in ((1, sig1), (0, sig0)):
-            if not sig.size:
-                continue
-            if use_native:
-                if opt.w:
-                    h, p = native.sketch_min(sig, opt.w, opt.e, opt.q, opt.lq)
-                else:
-                    h, p = native.sketch_reg(sig, opt.e, opt.q, opt.lq)
-            else:
-                seeds = gsketch.sketch(
-                    sig, rid, strand, opt.w, opt.e, opt.n, opt.q, opt.lq, opt.k
+    if n_threads is None:
+        n_threads = min(max(os.cpu_count() or 1, 1), 16)
+    names = [s.name for s in seqs]
+    lens = [len(s.seq) for s in seqs]
+    if len(seqs) > 1 and n_threads > 1:
+        with concurrent.futures.ThreadPoolExecutor(n_threads) as pool:
+            results = list(
+                pool.map(
+                    lambda a: _build_seq(
+                        a[0], a[1].seq, pore_vals, opt, use_native
+                    ),
+                    enumerate(seqs),
                 )
-                h = (seeds[:, 0] >> np.uint64(gsketch.RI_HASH_SHIFT)).astype(
-                    np.uint32
-                )
-                p = (
-                    (seeds[:, 1] & np.uint64(0xFFFFFFFF))
-                    >> np.uint64(gsketch.RI_POS_SHIFT)
-                ).astype(np.int64)
-            key_blocks.append(h.astype(np.uint32))
-            id_blocks.append(np.full(h.size, rid, dtype=np.uint32))
-            ps_blocks.append(
-                ((p.astype(np.uint32) << np.uint32(1)) | np.uint32(strand))
             )
-    if key_blocks:
-        keys = np.concatenate(key_blocks)
-        ids = np.concatenate(id_blocks)
-        ps = np.concatenate(ps_blocks)
+    else:
+        results = [
+            _build_seq(rid, s.seq, pore_vals, opt, use_native)
+            for rid, s in enumerate(seqs)
+        ]
+    sigs1 = [r[0] for r in results]
+    sigs0 = [r[1] for r in results]
+    sig_lens = [r[0].size for r in results]
+    packs = [r[2] for r in results]
+    sizes = np.array([p.size for p in packs], dtype=np.int64)
+    if len(packs) == 1:
+        packed = packs[0]
+        v = packed.view(np.uint32)  # little-endian: [0::2]=low, [1::2]=hi
+        keys = v[1::2].copy()
+        ps_sorted = v[0::2].copy()
+        ids_sorted = np.zeros(packed.size, np.uint32)
+    elif packs:
+        # merge the per-sequence sorted blocks: a stable sort by hash of
+        # the concatenation keeps, within equal hashes, blocks in id
+        # order and each block's ps order — i.e. (hash, id, ps).
+        # This host is memory-bandwidth-bound, so the packing works on
+        # little-endian u32 VIEWS in place of shift/astype passes.
+        cat = np.concatenate(packs)
+        assert cat.size < (1 << 32), "index > 2^32 seeds: shard the build"
+        pack2 = cat.copy()
+        v = pack2.view(np.uint32)
+        v[0::2] = np.arange(cat.size, dtype=np.uint32)  # low word = index
+        pack2.sort(kind="stable")
+        v = pack2.view(np.uint32)
+        order = v[0::2]
+        keys = v[1::2].copy()
+        ps_sorted = cat.view(np.uint32)[0::2][order]
+        block_starts = np.zeros(len(packs) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=block_starts[1:])
+        ids_sorted = (
+            np.searchsorted(block_starts, order, side="right") - 1
+        ).astype(np.uint32)
     else:
         keys = np.zeros(0, np.uint32)
-        ids = np.zeros(0, np.uint32)
-        ps = np.zeros(0, np.uint32)
-    # sort by (hash, id, pos<<1|strand) == the reference's per-hash
-    # position order (rawindex.cpp:233)
-    order = np.lexsort((ps, ids, keys))
+        ids_sorted = np.zeros(0, np.uint32)
+        ps_sorted = np.zeros(0, np.uint32)
     offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum(sig_lens, out=offsets[1:])
     return RawIndex(
@@ -210,7 +284,7 @@ def build_index(
         signals_s0=(
             np.concatenate(sigs0) if sigs0 else np.zeros(0, np.float32)
         ),
-        keys=keys[order],
-        val_id=ids[order],
-        val_ps=ps[order],
+        keys=keys,
+        val_id=ids_sorted,
+        val_ps=ps_sorted,
     )

@@ -49,16 +49,19 @@ def seq_to_sig(
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, dtype=np.float32)
+    # int32 throughout: 4^k table indices fit easily (k <= 15) and the
+    # rolling-OR passes below are memory-bound on long genomes
     if strand:
         codes = codes[::-1]
-        eff = np.where(codes < 4, 3 ^ codes, 0).astype(np.int64)
+        eff = np.where(codes < 4, 3 ^ codes, 0).astype(np.int32)
     else:
-        eff = np.where(codes < 4, codes, 0).astype(np.int64)
+        eff = np.where(codes < 4, codes, 0).astype(np.int32)
 
     # kmer[i] = sum_{j=0..k-1} eff[i-j] << (2*j)  for i in k-1..n-1
-    kmers = np.zeros(n - k + 1, dtype=np.int64)
+    kmers = np.zeros(n - k + 1, dtype=np.int32)
     for j in range(k):
-        kmers = (kmers << 2) | eff[j : n - k + 1 + j]
+        kmers <<= 2
+        kmers |= eff[j : n - k + 1 + j]
 
     vals = pore_vals[kmers].astype(np.float32)
     # Double-precision accumulators, as the reference (rsig.cpp:12,30-35).

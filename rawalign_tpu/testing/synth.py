@@ -54,6 +54,36 @@ def random_genome(rng: np.random.Generator, lengths: list[int]) -> list[Sequence
     ]
 
 
+def tandem_genome(
+    rng: np.random.Generator,
+    *,
+    unit_len: int,
+    copies: int,
+    flank: int = 5000,
+    divergence: float = 0.0,
+    name: str = "tandem_seq0",
+) -> list[Sequence]:
+    """A genome dominated by a tandem repeat: ``copies`` near-identical
+    repeats of a random ``unit_len``-bp unit (each copy independently
+    mutated at ``divergence`` per-base rate), flanked by random sequence.
+    The regime where anchor lists get dense and the reference's 5000-
+    anchor chaining band (rmap.cpp:440-484) actually matters."""
+    unit = "".join(rng.choice(list("ACGT"), size=unit_len))
+    bases = "ACGT"
+    parts = ["".join(rng.choice(list("ACGT"), size=flank))]
+    for _ in range(copies):
+        if divergence > 0:
+            chars = list(unit)
+            n_mut = rng.binomial(unit_len, divergence)
+            for j in rng.choice(unit_len, size=n_mut, replace=False):
+                chars[j] = bases[int(rng.integers(0, 4))]
+            parts.append("".join(chars))
+        else:
+            parts.append(unit)
+    parts.append("".join(rng.choice(list("ACGT"), size=flank)))
+    return [Sequence(name=name, seq="".join(parts), rid=0)]
+
+
 def simulate_read_signal(
     rng: np.random.Generator,
     seq: str,
@@ -94,16 +124,19 @@ def make_dataset(
     k: int = 6,
     noise_pa: float = 1.5,
     frac_random: float = 0.0,
+    seqs: list[Sequence] | None = None,
 ) -> SynthDataset:
     """A full synthetic dataset.
 
     frac_random: fraction of reads drawn as pure noise (unmappable), to
-    exercise the unmapped path and precision metrics.
+    exercise the unmapped path and precision metrics. Pass ``seqs`` to
+    simulate reads off a custom genome (e.g. tandem_genome).
     """
     rng = np.random.default_rng(seed)
     if genome_lengths is None:
         genome_lengths = [20_000, 10_000]
-    seqs = random_genome(rng, genome_lengths)
+    if seqs is None:
+        seqs = random_genome(rng, genome_lengths)
     model = synthetic_pore_model(k=k, seed=seed + 1)
     reads: list[SimRead] = []
     for i in range(n_reads):
