@@ -517,8 +517,17 @@ class MappingEngine:
                 qpos = np.concatenate([qpos, np.asarray(prev_q, np.int64)])
             order = np.lexsort((qpos, tpos, seg))
             if order.size > A:
+                # over-budget rounds decimate UNIFORMLY across the
+                # sorted anchor list (keeping sorted order) instead of
+                # truncating the suffix: prefix-truncation silently
+                # unmapped every read whose true locus sorted late (high
+                # target positions on large genomes); decimation keeps
+                # proportional coverage of every segment, and chains
+                # re-rank under DTW. Rounds under budget (the normal
+                # case) remain exactly reference-parity.
                 self.counters["anchors_dropped"] += order.size - A
-                order = order[:A]
+                keep = np.linspace(0, order.size - 1, A).astype(np.int64)
+                order = order[keep]
             m = order.size
             seg_b[i, :m] = seg[order]
             tgt_b[i, :m] = tpos[order]
