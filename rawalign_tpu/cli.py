@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=32, help="reads per device batch")
     p.add_argument("--max-occ", type=int, default=64, help="max hits gathered per seed")
     p.add_argument("--chain-window", type=int, default=64, help="chaining DP predecessor window")
+    p.add_argument("--max-anchors", type=int, default=2048,
+                   help="per-read anchor budget (over-budget rounds decimate)")
+    p.add_argument("--seeds-out", type=int, default=768,
+                   help="compacted seed slots per chunk (device stage output)")
+    p.add_argument("--pipeline-depth", type=int, default=4,
+                   help="read groups advancing round-robin (overlaps host and device work)")
     p.add_argument("--engine", choices=["device", "golden"], default="device",
                    help="'golden' runs the NumPy reference-replica engine")
     # observability / fault tolerance (SURVEY §5: the reference has none;
@@ -316,6 +322,9 @@ def main(argv=None) -> int:
             batch_size=args.batch_size,
             max_occ=args.max_occ,
             chain_window=args.chain_window,
+            max_anchors=args.max_anchors,
+            seeds_out=args.seeds_out,
+            pipeline_depth=args.pipeline_depth,
         )
         results = engine.map_reads(reads())
     for res in results:
