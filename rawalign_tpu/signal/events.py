@@ -218,18 +218,25 @@ def _peak_scan(
 
 def _compact_peaks(peaks_lb2: jax.Array, max_peaks: int):
     """Flatten (B, L, 2) emitted positions into (B, MAXP) in emission order
-    (sample-major, detector-minor), -1 padded."""
+    (sample-major, detector-minor), -1 padded.
+
+    Compaction via a (invalid, index) permutation sort + gather instead
+    of a scatter: TPU scatters serialize (~10 ms per round here), the
+    2-operand row sort is ~3 ms, and the pairs are unique so the result
+    is deterministic and order-preserving."""
     B, L, _ = peaks_lb2.shape
     flat = peaks_lb2.reshape(B, L * 2)
     valid = flat >= 0
-    slot = jnp.cumsum(valid, axis=1) - 1
     n = jnp.sum(valid, axis=1).astype(jnp.int32)
-    slot = jnp.where(valid & (slot < max_peaks), slot, max_peaks)
-    out = jnp.full((B, max_peaks + 1), -1, jnp.int32)
-    out = out.at[jnp.arange(B)[:, None], slot].set(
-        jnp.where(valid, flat, -1), mode="drop"
+    idx0 = jnp.broadcast_to(
+        jnp.arange(L * 2, dtype=jnp.int32)[None, :], (B, L * 2)
     )
-    return out[:, :max_peaks], n
+    _f, perm = jax.lax.sort(
+        ((~valid).astype(jnp.int32), idx0), dimension=1, num_keys=1
+    )
+    comp = jnp.take_along_axis(flat, perm[:, :max_peaks], axis=1)
+    in_range = jnp.arange(max_peaks)[None, :] < n[:, None]
+    return jnp.where(in_range, comp, -1), n
 
 
 @functools.partial(
