@@ -359,6 +359,16 @@ def main(argv=None) -> int:
         f"CPU: {cpu:.3f} sec; Peak RSS: {peak_gb:.3f} GB; reads: {n_out}",
         file=sys.stderr,
     )
+    from rawalign_tpu import runtime as _rt
+
+    ts = _rt.transfer_stats
+    if ts["retries"] or ts["stall_warnings"] or ts["failures"]:
+        print(
+            f"[M::main] Device link: {ts['retries']} transfer retries, "
+            f"{ts['stall_warnings']} stall warnings, "
+            f"{ts['failures']} hard failures",
+            file=sys.stderr,
+        )
     return 0
 
 

@@ -143,7 +143,9 @@ class MappingEngine:
         self._ref_cat_host = (
             np.concatenate(parts) if parts else np.zeros(0, np.float32)
         )
-        self._ref_cat_dev = jax.device_put(self._ref_cat_host)
+        self._ref_cat_dev = runtime.put(
+            self._ref_cat_host, label="reference-signal upload"
+        )
         io = index.opt
         ne = opt.max_events_per_chunk
         SENT = np.int32(0x7FFFFFFF)
@@ -440,7 +442,9 @@ class MappingEngine:
         # behind their host work
         stage1_fut.copy_to_host_async()
         yield  # other groups' host work overlaps this device work
-        packed = jax.device_get(stage1_fut)
+        from rawalign_tpu import runtime
+
+        packed = runtime.fetch(stage1_fut, label="stage1 fetch")
         pi = packed.view(np.int32)
         ne = opt.max_events_per_chunk
         NS = self._ns_out
@@ -580,7 +584,9 @@ class MappingEngine:
         dp_fut = self._chain_dp(packed_c)
         dp_fut.copy_to_host_async()  # see the stage1 note
         yield
-        dp_out = jax.device_get(dp_fut)
+        from rawalign_tpu import runtime
+
+        dp_out = runtime.fetch(dp_fut, label="chain-DP fetch")
         scores = dp_out[:, :a_round]
         preds = dp_out.view(np.int32)[:, a_round:]
         mark("chain_dp")

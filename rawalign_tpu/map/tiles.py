@@ -526,12 +526,14 @@ def dtw_collect(pending: PendingDtw) -> np.ndarray:
     out = np.zeros(pending.n, dtype=np.float32)
     if pending.small_idx:
         costs = np.zeros(len(pending.small_idx), dtype=np.float32)
+        from rawalign_tpu import runtime
+
         if pending.packed is not None:
-            arr = np.asarray(pending.packed)
+            arr = runtime.fetch(pending.packed, label="DTW fetch")
             for s0, ln, off in pending.packed_chunks:
                 costs[s0 : s0 + ln] = arr[off : off + ln]
         for s0, ln, dev in pending.small_pending:
-            costs[s0 : s0 + ln] = np.asarray(dev)[:ln]
+            costs[s0 : s0 + ln] = runtime.fetch(dev, label="DTW fetch")[:ln]
         out[pending.small_idx] = costs
     if pending.large_idx:
         lc = pending.large_costs
