@@ -56,12 +56,36 @@ def test_engine_matches_golden_exactly_with_full_window(setup, use_dtw):
             n_same += 1
         else:
             diffs.append((r.name, want, got[r.name]))
-            # the only sanctioned divergence is a rare event-detector peak
-            # flip (float32 vs double sqrt); the mapping itself must agree
+            # The only sanctioned divergence is a rare event-detector peak
+            # flip: the reference's final t-stat routes |d|/sqrt(v/w)
+            # through double (revent.c:69) where the TPU has only f32, a
+            # <=2-ulp difference that can add/remove one event when a
+            # t-stat sits within rounding of a threshold. That may only
+            # perturb event-COUNT-derived tag values; every mapping
+            # column must still be exact and tag drift must be small.
             g = got[r.name].split("\t")
             w = want.split("\t")
-            assert g[4:7] == w[4:7], (r.name, want, got[r.name])  # strand+ref
-            assert abs(int(g[7]) - int(w[7])) <= 50  # ref start
+            # all 12 core PAF columns except read-coordinate scaling
+            # (cols 2-4 derive from the event count) must be EXACT
+            assert g[0] == w[0]
+            assert g[4:12] == w[4:12], (r.name, want, got[r.name])
+            for gi, wi in zip(g[1:4], w[1:4]):
+                assert abs(int(gi) - int(wi)) <= 3, (r.name, want, got[r.name])
+            # tags: same set, numeric values within 5% relative
+            gt = dict(t.split(":", 1) for t in g[12:])
+            wt = dict(t.split(":", 1) for t in w[12:])
+            assert gt.keys() == wt.keys(), (r.name, want, got[r.name])
+            for k in gt:
+                if k == "mt":  # timing tag, masked to X above
+                    continue
+                ty, gv = gt[k].split(":", 1)
+                _, wv = wt[k].split(":", 1)
+                if ty in ("f", "i"):
+                    gvf, wvf = float(gv), float(wv)
+                    tol = 0.05 * max(abs(gvf), abs(wvf), 1.0)
+                    assert abs(gvf - wvf) <= tol, (r.name, k, gv, wv)
+                else:
+                    assert gv == wv, (r.name, k, gv, wv)
     # exact PAF equality for the large majority
     assert n_same >= int(0.8 * len(ds.reads)), (n_same, diffs[:2])
 

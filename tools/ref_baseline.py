@@ -108,28 +108,19 @@ def score_paf(paf_text, ds):
     return n_mapped, n_correct, (float(np.mean(mt_ms)) if mt_ms else None)
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=None)
-    ap.add_argument("--n-reads", type=int, default=256)
-    ap.add_argument("--genome-kb", type=int, default=200)
-    args = ap.parse_args()
-
-    if not os.path.exists(BIN):
-        print(f"reference binary not found at {BIN}; run "
-              "scripts/build_reference.sh first", file=sys.stderr)
-        return 1
-
+def measure_scale(genome_kb: int, n_reads: int):
+    """Build the synthetic dataset for one genome scale, index it with
+    the reference binary, and measure mapping at -t 1 and -t nproc."""
     from rawalign_tpu.pore_model import save_pore_model
     from rawalign_tpu.io import fasta
     from rawalign_tpu.testing import synth
 
-    data = os.path.join(BUILD_DIR, "data")
+    data = os.path.join(BUILD_DIR, f"data_{genome_kb}kb")
     os.makedirs(data, exist_ok=True)
     ds = synth.make_dataset(
         seed=7,
-        genome_lengths=[args.genome_kb * 1000],
-        n_reads=args.n_reads,
+        genome_lengths=[genome_kb * 1000],
+        n_reads=n_reads,
         read_len_bp=(400, 1200),
         noise_pa=1.5,
     )
@@ -163,11 +154,48 @@ def main():
         n_mapped, n_correct, mt_mean = score_paf(p.stdout, ds)
         results[t] = {
             "mapping_wall_s": round(map_s, 3),
-            "reads_per_sec": round(args.n_reads / map_s, 2),
-            "mapped_frac": round(n_mapped / args.n_reads, 3),
-            "correct_frac": round(n_correct / args.n_reads, 3),
+            "reads_per_sec": round(n_reads / map_s, 2),
+            "mapped_frac": round(n_mapped / n_reads, 3),
+            "correct_frac": round(n_correct / n_reads, 3),
             "mean_mt_ms": round(mt_mean, 2) if mt_mean else None,
         }
+    return {
+        "n_reads": n_reads,
+        "genome_kb": genome_kb,
+        "index_build_s": round(t_index, 2),
+        "by_threads": results,
+        "reads_per_sec_1t": results[1]["reads_per_sec"],
+        "reads_per_sec_32t_est": round(32 * results[1]["reads_per_sec"], 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--n-reads", type=int, default=256)
+    ap.add_argument("--genome-kb", type=int, default=200)
+    ap.add_argument(
+        "--scales",
+        default=None,
+        help="comma list of extra GENOME_KB[:N_READS] scales to measure "
+             "beyond the primary (e.g. '5000:256,50000:128')",
+    )
+    args = ap.parse_args()
+
+    if not os.path.exists(BIN):
+        print(f"reference binary not found at {BIN}; run "
+              "scripts/build_reference.sh first", file=sys.stderr)
+        return 1
+
+    nproc = os.cpu_count() or 1
+    primary = measure_scale(args.genome_kb, args.n_reads)
+    scales = {f"{args.genome_kb}kb": primary}
+    if args.scales:
+        for spec in args.scales.split(","):
+            kb, _, nr = spec.partition(":")
+            kb = int(kb)
+            nr = int(nr) if nr else args.n_reads
+            scales[f"{kb}kb"] = measure_scale(kb, nr)
 
     out = {
         "binary": BIN,
@@ -179,10 +207,11 @@ def main():
                       "sparse border, banded 0.10)",
         },
         "host_nproc": nproc,
-        "index_build_s": round(t_index, 2),
-        "by_threads": results,
-        "reads_per_sec_1t": results[1]["reads_per_sec"],
-        "reads_per_sec_32t_est": round(32 * results[1]["reads_per_sec"], 2),
+        "index_build_s": primary["index_build_s"],
+        "by_threads": primary["by_threads"],
+        "reads_per_sec_1t": primary["reads_per_sec_1t"],
+        "reads_per_sec_32t_est": primary["reads_per_sec_32t_est"],
+        "scales": scales,
         "est_note": "32t estimate assumes perfect linear scaling from 1 "
                     "thread (favors the reference; kthread is sublinear)",
     }
