@@ -19,11 +19,23 @@ import time
 import numpy as np
 
 
-def build_dataset(n_reads=256, genome_kb=200):
+def build_dataset(n_reads=None, genome_kb=None):
+    """Default workload: 256 reads on a 200 kb genome (matches
+    REF_BASELINE.json's primary scale). Override via env
+    RAWALIGN_BENCH_GENOME_KB / RAWALIGN_BENCH_N_READS to bench the
+    larger scales measured by tools/ref_baseline.py --scales."""
+    import os
+
     from rawalign_tpu import config
     from rawalign_tpu.index import index as dindex
     from rawalign_tpu.testing import synth
 
+    if n_reads is None:
+        n_reads = int(os.environ.get("RAWALIGN_BENCH_N_READS", "256"))
+    if genome_kb is None:
+        genome_kb = int(os.environ.get("RAWALIGN_BENCH_GENOME_KB", "200"))
+    build_dataset.genome_kb = genome_kb
+    build_dataset.n_reads = n_reads
     ds = synth.make_dataset(
         seed=7,
         genome_lengths=[genome_kb * 1000],
@@ -198,6 +210,11 @@ def main():
                          "REF_BASELINE.json")
         ) as f:
             rb = json.load(f)
+        # pick the reference measurement matching this bench's scale
+        scale_key = f"{build_dataset.genome_kb}kb"
+        scales = rb.get("scales", {})
+        if scale_key in scales:
+            rb = {**rb, **scales[scale_key]}
         e2e = {
             "reference_reads_per_sec_1t": rb["reads_per_sec_1t"],
             "reference_reads_per_sec_host": rb["by_threads"][
