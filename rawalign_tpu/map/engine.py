@@ -42,7 +42,7 @@ from rawalign_tpu.golden import engine as gengine
 from rawalign_tpu.index.index import RawIndex
 from rawalign_tpu.io import paf
 from rawalign_tpu.map import chain as dchain
-from rawalign_tpu.map import postprocess, tiles
+from rawalign_tpu.map import postprocess, stage1_codec, tiles
 from rawalign_tpu.seeds import sketch as dsketch
 from rawalign_tpu.signal import events as devents
 
@@ -108,6 +108,9 @@ class MappingEngine:
         self.opt = opt
         self.batch_size = batch_size
         self.max_occ = max_occ
+        # the stage1 (qpos, count) packing cannot represent values
+        # beyond these bounds — fail loudly at construction
+        stage1_codec.validate_bounds(opt.max_events_per_chunk, max_occ)
         self.max_anchors = max_anchors
         self.max_carried = max_carried
         self.chain_window = chain_window
@@ -228,12 +231,11 @@ class MappingEngine:
                 jnp.where(v_c & over, count, 0), axis=1
             ).astype(jnp.int32)
             cnt_c = jnp.where(v_c & ~over, count, 0)
-            # pack (qpos, count) into one int32 column block: qpos <
-            # max_events_per_chunk (< 2^15) and count <= max_occ
-            # (< 2^16), so the download shrinks by one NS-wide block
-            # (~190 KB/round at the defaults — the tunnel moves
-            # ~16 MB/s down)
-            qc_c = (qp_c << 16) | cnt_c
+            # pack (qpos, count) into one int32 column block (shared
+            # codec with the distributed engine — stage1_codec.py): the
+            # download shrinks by one NS-wide block (~190 KB/round at
+            # the defaults — the tunnel moves ~16 MB/s down)
+            qc_c = stage1_codec.pack_qc(qp_c, cnt_c)
             lo_c = lo_c.astype(jnp.int32)
             # append this chunk's events to the per-slot history (the
             # construction bounds hist_off + ne <= hmax: each of the
@@ -241,9 +243,6 @@ class MappingEngine:
             hist = jax.vmap(
                 lambda h, e, o: jax.lax.dynamic_update_slice(h, e, (o,))
             )(hist, ev.values, hist_off)
-            bc = lambda x: jax.lax.bitcast_convert_type(
-                x.astype(jnp.int32), jnp.float32
-            )
             scalars = jnp.stack(
                 [
                     ev.n_events.astype(jnp.int32),
@@ -253,9 +252,11 @@ class MappingEngine:
                 ],
                 axis=1,
             )
-            parts = [ev.values] if self._events_on_host else []
-            parts += [bc(lo_c), bc(qc_c), bc(scalars)]
-            return jnp.concatenate(parts, axis=1), hist
+            out = stage1_codec.pack_stage1(
+                ev.values, lo_c, qc_c, scalars,
+                include_events=self._events_on_host,
+            )
+            return out, hist
 
         _stage1_jit = jax.jit(_stage1, donate_argnums=(2,))
         self._stage1 = lambda packed_in, hist, hist_off: _stage1_jit(
@@ -451,19 +452,18 @@ class MappingEngine:
         from rawalign_tpu import runtime
 
         packed = runtime.fetch(stage1_fut, label="stage1 fetch")
-        pi = packed.view(np.int32)
-        ne = opt.max_events_per_chunk
-        NS = self._ns_out
-        base = ne if self._events_on_host else 0
-        ev_values = packed[:, :ne] if self._events_on_host else None
-        h_lo = pi[:, base : base + NS]
-        h_qc = pi[:, base + NS : base + 2 * NS]
-        h_count = h_qc & 0xFFFF
-        h_qpos = h_qc >> 16
-        ev_counts = pi[:, -4]
-        ev_dropped = pi[:, -3]
-        hit_dropped = pi[:, -2]
-        compact_dropped = pi[:, -1]
+        s1 = stage1_codec.unpack_stage1(
+            packed,
+            ne=opt.max_events_per_chunk,
+            ns=self._ns_out,
+            events_on_host=self._events_on_host,
+        )
+        ev_values = s1.ev_values
+        h_lo, h_qpos, h_count = s1.lo, s1.qpos, s1.count
+        ev_counts = s1.n_events
+        ev_dropped = s1.n_ev_dropped
+        hit_dropped = s1.n_occ_dropped
+        compact_dropped = s1.n_compact_dropped
         mark("stage_chain")
         self.counters["events_dropped"] += int(ev_dropped.sum())
         self.counters["seed_hits_dropped"] += int(hit_dropped.sum())

@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rawalign_tpu.config import MappingOptions
 from rawalign_tpu.index.index import RawIndex
-from rawalign_tpu.map import tiles
+from rawalign_tpu.map import stage1_codec, tiles
 from rawalign_tpu.map.engine import MappingEngine
 from rawalign_tpu.parallel import mesh as pmesh
 from rawalign_tpu.seeds import sketch as dsketch
@@ -188,9 +188,10 @@ class DistributedMappingEngine(MappingEngine):
             ).astype(jnp.int32)
             cnt_c = jnp.where(v_c & ~over, cnt_b, 0)
             lo_c = glo_b.astype(jnp.int32)
-            bc = lambda x: jax.lax.bitcast_convert_type(
-                x.astype(jnp.int32), jnp.float32
-            )
+            # the SAME packed layout as the single-device stage1 (the
+            # inherited host unpack consumes it) — shared codec, single
+            # source of truth (stage1_codec.py)
+            qc_c = stage1_codec.pack_qc(qp_c, cnt_c)
             scalars = jnp.stack(
                 [
                     ev.n_events.astype(jnp.int32),
@@ -200,9 +201,8 @@ class DistributedMappingEngine(MappingEngine):
                 ],
                 axis=1,
             )
-            return jnp.concatenate(
-                [ev.values, bc(lo_c), bc(cnt_c), bc(qp_c), bc(scalars)],
-                axis=1,
+            return stage1_codec.pack_stage1(
+                ev.values, lo_c, qc_c, scalars, include_events=True
             )
 
         f = jax.jit(

@@ -34,21 +34,31 @@ _CACHE_ENABLED = False
 # Failure detection / elastic transfer layer
 # --------------------------------------------------------------------------
 
-#: substrings (lowercased) that mark an error as a transient transport /
-#: tunnel failure worth retrying — RPC deadline, dropped socket, plugin
-#: transport hiccups. Anything else (shape errors, OOM, compile errors)
-#: re-raises immediately: retrying those would loop forever.
+#: gRPC/absl status-code tokens (matched case-sensitively — XLA runtime
+#: errors carry them verbatim) that mark a transient transport failure.
+_TRANSIENT_CODES = (
+    "DEADLINE_EXCEEDED",
+    "UNAVAILABLE",
+    "ABORTED",
+    "CANCELLED",
+)
+
+#: narrower lowercase fallbacks for raw socket/OS-level transport
+#: errors that carry no status code. Deliberately specific phrases —
+#: generic words ("retry", "connection", "aborted") would misclassify
+#: permanent errors whose message merely mentions them. Anything not
+#: matched (shape errors, OOM, compile errors) re-raises immediately:
+#: retrying those would loop forever.
 _TRANSIENT_MARKERS = (
-    "deadline",
     "timed out",
     "timeout",
-    "unavailable",
-    "connection",
-    "socket",
-    "transport",
-    "aborted",
-    "temporarily",
-    "retry",
+    "connection reset",
+    "connection refused",
+    "connection closed",
+    "broken pipe",
+    "socket closed",
+    "transport closed",
+    "temporarily unavailable",
 )
 
 #: counters for observability (reported by the CLI's final stats and
@@ -61,8 +71,11 @@ transfer_stats = {
 
 
 def _is_transient(err: BaseException) -> bool:
-    msg = f"{type(err).__name__}: {err}".lower()
-    return any(m in msg for m in _TRANSIENT_MARKERS)
+    msg = f"{type(err).__name__}: {err}"
+    if any(c in msg for c in _TRANSIENT_CODES):
+        return True
+    low = msg.lower()
+    return any(m in low for m in _TRANSIENT_MARKERS)
 
 
 class _Watchdog:
@@ -109,7 +122,11 @@ def _with_retry(op, label: str, retries: int | None, warn_after: float | None):
         try:
             return op()
         except Exception as e:  # noqa: BLE001 — classified below
-            if attempt >= retries or not _is_transient(e):
+            if not _is_transient(e):
+                # not a link failure (shape/compile/OOM bug): re-raise
+                # without polluting the device-link failure counter
+                raise
+            if attempt >= retries:
                 transfer_stats["failures"] += 1
                 raise
             attempt += 1

@@ -50,6 +50,23 @@ def test_transient_classification():
     assert runtime._is_transient(TimeoutError("operation timed out"))
     assert not runtime._is_transient(ValueError("bad shape (3, 4)"))
     assert not runtime._is_transient(RuntimeError("RESOURCE_EXHAUSTED: OOM"))
+    # generic words alone must NOT classify as transient (they appear in
+    # permanent errors too: "will not retry", "connection pool config",
+    # "operation aborted by user")
+    assert not runtime._is_transient(ValueError("will not retry this op"))
+    assert not runtime._is_transient(RuntimeError("connection pool misconfigured"))
+    assert not runtime._is_transient(RuntimeError("operation aborted by user"))
+
+
+def test_permanent_error_not_counted_as_link_failure(monkeypatch):
+    """Ordinary shape/compile bugs surface as exceptions but must not
+    inflate the device-link 'hard failures' stat the CLI reports."""
+    _reset_stats()
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    arr = _FlakyDevArray([1.0], 99, "invalid shape for gather")
+    with pytest.raises(RuntimeError, match="invalid shape"):
+        runtime.fetch(arr, label="test fetch", warn_after=0)
+    assert runtime.transfer_stats["failures"] == 0
 
 
 def test_fetch_retries_transient(monkeypatch):
@@ -88,10 +105,12 @@ def test_watchdog_logs_stall(capsys):
 
     class _Slow:
         def __array__(self, dtype=None, copy=None):
-            time.sleep(0.25)
+            # wide margin (25x the warn threshold) so the watchdog
+            # thread gets scheduled even under heavy CI load
+            time.sleep(0.5)
             return np.zeros(1)
 
-    runtime.fetch(_Slow(), label="slow fetch", warn_after=0.05)
+    runtime.fetch(_Slow(), label="slow fetch", warn_after=0.02)
     err = capsys.readouterr().err
     assert "slow fetch has been blocked" in err
     assert runtime.transfer_stats["stall_warnings"] >= 1
