@@ -308,6 +308,81 @@ float ra_dtw_banded(const float* a, int64_t n0, const float* b, int64_t m0,
   return res;
 }
 
+// Full-matrix global DTW with traceback (reference semantics:
+// dtw.cpp:595-667 DTW_global_tb; a is the read axis, b the reference
+// axis — NOT swapped). Writes the alignment path (i, j) ascending into
+// out_ij (interleaved pairs, caller allocates n+m entries -> 2*(n+m)
+// int32) and per-element |a[i]-b[j]| into out_diff; returns the path
+// length and stores the total cost in *out_cost. Bit-identical to the
+// Python golden model (rawalign_tpu/golden/dtw.py:dtw_global_tb): both
+// evaluate float32 min(top, left, topleft) + |a-b| over the cumulative
+// global borders and trace back with the same strict-inequality tie
+// rules (diagonal preferred on ties).
+int64_t ra_dtw_global_tb(const float* a, int64_t n, const float* b,
+                         int64_t m, int32_t* out_ij, float* out_diff,
+                         float* out_cost) {
+  if (n <= 0 || m <= 0) {
+    *out_cost = 0.0f;
+    return 0;
+  }
+  float* dp = new float[n * m];
+  dp[0] = std::fabs(a[0] - b[0]);
+  for (int64_t i = 1; i < n; ++i)
+    dp[i * m] = dp[(i - 1) * m] + std::fabs(a[i] - b[0]);
+  for (int64_t j = 1; j < m; ++j)
+    dp[j] = dp[j - 1] + std::fabs(a[0] - b[j]);
+  for (int64_t i = 1; i < n; ++i) {
+    const float ai = a[i];
+    const float* pr = dp + (i - 1) * m;
+    float* cu = dp + i * m;
+    for (int64_t j = 1; j < m; ++j) {
+      float best = pr[j] < cu[j - 1] ? pr[j] : cu[j - 1];
+      if (pr[j - 1] < best) best = pr[j - 1];
+      cu[j] = best + std::fabs(ai - b[j]);
+    }
+  }
+  *out_cost = dp[n * m - 1];
+  // traceback from (n-1, m-1), reversed in place at the end
+  int64_t i = n - 1, j = m - 1, len = 0;
+  out_ij[2 * len] = (int32_t)i;
+  out_ij[2 * len + 1] = (int32_t)j;
+  out_diff[len++] = std::fabs(a[i] - b[j]);
+  while (i > 0 || j > 0) {
+    if (i == 0) {
+      --j;
+    } else if (j == 0) {
+      --i;
+    } else {
+      const float left = dp[(i - 1) * m + j];
+      const float top = dp[i * m + (j - 1)];
+      const float topleft = dp[(i - 1) * m + (j - 1)];
+      if (left < (top < topleft ? top : topleft)) {
+        --i;
+      } else if (top < (left < topleft ? left : topleft)) {
+        --j;
+      } else {
+        --i;
+        --j;
+      }
+    }
+    out_ij[2 * len] = (int32_t)i;
+    out_ij[2 * len + 1] = (int32_t)j;
+    out_diff[len++] = std::fabs(a[i] - b[j]);
+  }
+  delete[] dp;
+  for (int64_t k = 0; k < len / 2; ++k) {  // reverse to ascending order
+    int32_t ti = out_ij[2 * k], tj = out_ij[2 * k + 1];
+    out_ij[2 * k] = out_ij[2 * (len - 1 - k)];
+    out_ij[2 * k + 1] = out_ij[2 * (len - 1 - k) + 1];
+    out_ij[2 * (len - 1 - k)] = ti;
+    out_ij[2 * (len - 1 - k) + 1] = tj;
+    float td = out_diff[k];
+    out_diff[k] = out_diff[len - 1 - k];
+    out_diff[len - 1 - k] = td;
+  }
+  return len;
+}
+
 // Batched variant over flattened tile arrays (offsets into a/b pools).
 void ra_dtw_banded_batch(const float* a_pool, const int64_t* a_off,
                          const int64_t* a_len, const float* b_pool,

@@ -325,8 +325,31 @@ def _traceback(
 
 
 def dtw_global_tb(a, b, exclude_last_element: bool = False) -> DtwResult:
-    """Full-matrix global DTW with traceback (dtw.cpp:595-667)."""
+    """Full-matrix global DTW with traceback (dtw.cpp:595-667).
+
+    Dispatches to the native C implementation when the host library is
+    available (path-identical; the reference also runs this in C per
+    best chain at output time, rmap.cpp:715-717) — the pure-Python
+    matrix fill below is the fallback and the parity oracle
+    (RAWALIGN_TPU_NATIVE_TB=0 forces it)."""
+    import os
+
     a, b = _f32(a), _f32(b)
+    if os.environ.get("RAWALIGN_TPU_NATIVE_TB", "1") != "0":
+        from rawalign_tpu import native
+
+        if native.available():
+            ij, diff, cost = native.dtw_global_tb(a, b)
+            alignment = [
+                AlignmentElement(int(i), int(j), float(d))
+                for (i, j), d in zip(ij, diff)
+            ]
+            if exclude_last_element:
+                return DtwResult(
+                    float(np.float32(cost) - _dist(a[-1], b[-1])),
+                    alignment[:-1],
+                )
+            return DtwResult(cost, alignment)
     dp = _full_matrix(a, b, semiglobal=False)
     n, m = a.size, b.size
     alignment = _traceback(dp, a, b, n - 1, m - 1, stop_i_only=False)

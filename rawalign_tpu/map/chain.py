@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG = jnp.float32(-3e38)
+# np scalar, not jnp: a module-level jnp constant initializes the XLA
+# backend at import, which breaks jax.distributed.initialize() ordering
+NEG = np.float32(-3e38)
 
 
 class ChainScores(NamedTuple):

@@ -34,8 +34,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(1e10)
+INF = np.float32(1e10)  # np, not jnp: keep imports backend-init-free
 
 
 @functools.partial(jax.jit, static_argnames=("dpw", "max_n"))

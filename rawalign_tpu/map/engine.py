@@ -100,6 +100,7 @@ class MappingEngine:
         seeds_out: int = 768,
         dtw_device_max_n: int = 2048,
         dtw_device_max_b: int = 2048,
+        fused: bool = True,
     ):
         from rawalign_tpu import runtime
 
@@ -165,10 +166,12 @@ class MappingEngine:
         self._ns_out = min(seeds_out, ne)
         self._hmax = opt.max_num_chunk * ne
 
-        def _stage1(keys, packed_in, hist, hist_off):
+        def _stage1_core(keys, chunks, lengths, hist, hist_off):
             """Events + sketch + index lookup BOUNDS (+ device event
-            history append). Hit expansion and the anchor sort run on
-            the HOST: the real hit lists are tiny (hundreds per read).
+            history append) — the shared device body of both the plain
+            stage1 (hit expansion and anchor sort on the HOST: the real
+            hit lists are tiny, hundreds per read) and the fused
+            stage1+chain (expansion, sort and chain DP stay on device).
 
             One packed f32 array each way (int outputs bitcast into the
             f32 payload): the tunneled device runtime serializes
@@ -176,8 +179,6 @@ class MappingEngine:
             both the call count and the byte count matter. Seed slots
             are compacted device-side (hits-first stable sort) to
             ``ns_out`` columns."""
-            chunks = packed_in[:, :-1]
-            lengths = packed_in[:, -1].astype(jnp.int32)
             ev = devents.detect_events_batch(
                 chunks,
                 lengths,
@@ -252,12 +253,21 @@ class MappingEngine:
                 ],
                 axis=1,
             )
+            return ev, lo_c, qc_c, qp_c, cnt_c, scalars, hist
+
+        def _stage1(keys, packed_in, hist, hist_off):
+            chunks = packed_in[:, :-1]
+            lengths = packed_in[:, -1].astype(jnp.int32)
+            ev, lo_c, qc_c, _qp, _cnt, scalars, hist = _stage1_core(
+                keys, chunks, lengths, hist, hist_off
+            )
             out = stage1_codec.pack_stage1(
                 ev.values, lo_c, qc_c, scalars,
                 include_events=self._events_on_host,
             )
             return out, hist
 
+        self._stage1_core = _stage1_core
         _stage1_jit = jax.jit(_stage1, donate_argnums=(2,))
         self._stage1 = lambda packed_in, hist, hist_off: _stage1_jit(
             self._keys, packed_in, hist, hist_off
@@ -321,6 +331,178 @@ class MappingEngine:
             )
 
         self._chain_dp = _chain_packed
+
+        # ---- fused stage1+chain -----------------------------------------
+        # One device dispatch runs events + sketch + lookup + hit
+        # expansion + carried-anchor merge + 4-key sort + chain DP; the
+        # host REPLAYS expansion+lexsort from the (lo, qc) blocks it
+        # downloads anyway (deterministic given the shared idx
+        # tie-break), so preds index the replayed anchor array exactly.
+        # Cuts the per-round serialized transfers 6 -> 4 (the packed_c
+        # upload and the separate chain-DP download disappear).
+        #
+        # ONE static shape variant: compiles of the fused program on the
+        # remote TPU compile service run ~4 minutes EACH (measured), so
+        # width bucketing would multiply that. The DP always runs at the
+        # full anchor budget (device compute is overlapped by the
+        # pipeline groups; link time is the scarce resource) and only a
+        # fixed P-column prefix of scores/preds rides the main download;
+        # the full-width DP output stays device-resident and rounds that
+        # replay more than P anchors refetch a wider prefix (cheap slice
+        # jit).
+        #
+        # Hits are expanded to TWICE the anchor budget and over-budget
+        # rows apply the same occ-ranked drop as the host (unique
+        # compound key occ*E+pos -> kth-smallest threshold -> stable
+        # compaction), so the common over-budget round stays fused;
+        # only rows whose true anchor count exceeds the expansion width
+        # (or whose carried anchors exceed the carried width) escalate
+        # to the two-step path — detected on the host from the replayed
+        # counts, so never silently wrong.
+        self._fused = bool(fused)
+        self._fused_w = self.max_anchors
+        self._fused_exp = 2 * self.max_anchors
+        self._fused_c = min(512, self.max_carried)
+        self._fused_p = min(512, self._fused_w)
+        self._slice_cache: dict[int, object] = {}
+        SENT_j = jnp.int32(SENT)
+        IMAX = jnp.int32(0x7FFFFFFF)
+
+        def _fused_stage(keys, val_id, val_ps, packed_in, carried, hist,
+                         hist_off):
+            A = self._fused_w
+            A_exp = self._fused_exp
+            L = opt.chunk_size
+            chunks = packed_in[:, :L]
+            lengths = packed_in[:, L].astype(jnp.int32)
+            ev, lo_c, qc_c, qp_c, cnt_c, scalars, hist = _stage1_core(
+                keys, chunks, lengths, hist, hist_off
+            )
+            B_, NS = cnt_c.shape
+            C = (carried.shape[1] - 2) // 3
+            cseg = carried[:, :C]
+            ctgt = carried[:, C : 2 * C]
+            cqry = carried[:, 2 * C : 3 * C]
+            n_car = carried[:, 3 * C]
+            offset = carried[:, 3 * C + 1]
+            # expand hits: output slot j belongs to the seed whose
+            # inclusive cumsum first exceeds j (the device replay of the
+            # host's np.repeat expansion — same seed order, same
+            # within-seed order)
+            cum = jnp.cumsum(cnt_c, axis=1)
+            total = cum[:, -1]
+            j = jnp.arange(A_exp, dtype=jnp.int32)
+            seed = jax.vmap(
+                lambda c: jnp.searchsorted(c, j, side="right")
+            )(cum).astype(jnp.int32)
+            seed = jnp.minimum(seed, NS - 1)
+            cum_excl = cum - cnt_c
+            start = jnp.take_along_axis(lo_c, seed, axis=1)
+            within = j[None, :] - jnp.take_along_axis(cum_excl, seed, axis=1)
+            hidx = jnp.clip(start + within, 0, val_id.shape[0] - 1)
+            vhit = j[None, :] < total[:, None]
+            tid = val_id[hidx].astype(jnp.int32)
+            ps = val_ps[hidx]
+            tpos = ((ps >> 1) & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+            strd = (ps & jnp.uint32(1)).astype(jnp.int32)
+            seg_h = tid * 2 + strd
+            qry_h = jnp.take_along_axis(qp_c, seed, axis=1) + offset[:, None]
+            idx_h = jnp.broadcast_to(j[None, :], (B_, A_exp))
+            # per-anchor parent-seed occurrence count (the over-budget
+            # drop rank; host replay: occ = np.repeat(reps, reps))
+            occ_h = jnp.take_along_axis(cnt_c, seed, axis=1)
+            k = jnp.arange(C, dtype=jnp.int32)
+            vcar = k[None, :] < n_car[:, None]
+            idx_c = total[:, None] + k[None, :]
+            seg_all = jnp.concatenate(
+                [jnp.where(vhit, seg_h, SENT_j), jnp.where(vcar, cseg, SENT_j)],
+                axis=1,
+            )
+            tgt_all = jnp.concatenate(
+                [jnp.where(vhit, tpos, 0), jnp.where(vcar, ctgt, 0)], axis=1
+            )
+            qry_all = jnp.concatenate(
+                [jnp.where(vhit, qry_h, 0), jnp.where(vcar, cqry, 0)], axis=1
+            )
+            idx_all = jnp.concatenate([idx_h, idx_c], axis=1)
+            # carried anchors rank occ 0 (always kept under pressure)
+            occ_all = jnp.concatenate(
+                [occ_h, jnp.zeros((B_, C), jnp.int32)], axis=1
+            )
+            valid_all = jnp.concatenate([vhit, vcar], axis=1)
+            # 4-key ascending sort == np.lexsort((qry, tgt, seg)) with
+            # stable tie-break (idx = concatenation order); padding
+            # (seg=SENT=INT32_MAX) sorts last; occ rides as payload
+            seg_s, tgt_s, qry_s, _, occ_s, val_s = jax.lax.sort(
+                (seg_all, tgt_all, qry_all, idx_all, occ_all,
+                 valid_all.astype(jnp.int32)),
+                dimension=1, num_keys=4,
+            )
+            # over-budget drop, identical to the host replay: keep the
+            # A anchors with the smallest (occ, sorted-position). The
+            # compound key occ*E+pos is unique (pos distinct) and fits
+            # int32 (occ < 2^16 by validate_bounds, E a few thousand),
+            # so "<= kth smallest" keeps exactly min(A, m) anchors.
+            E = A_exp + C
+            pos = jnp.broadcast_to(
+                jnp.arange(E, dtype=jnp.int32)[None, :], (B_, E)
+            )
+            sortk = jnp.where(val_s == 1, occ_s * E + pos, IMAX)
+            kth = jax.lax.sort(sortk, dimension=1)[:, A - 1]
+            keep = (sortk <= kth[:, None]) & (val_s == 1)
+            # stable compaction: kept anchors first, in sorted order
+            key2 = jnp.where(keep, pos, E + pos)
+            _, seg_k, tgt_k, qry_k = jax.lax.sort(
+                (key2,
+                 jnp.where(keep, seg_s, SENT_j),
+                 jnp.where(keep, tgt_s, 0),
+                 jnp.where(keep, qry_s, 0)),
+                dimension=1, num_keys=1,
+            )
+            n_dp = jnp.minimum(total + n_car, A).astype(jnp.int32)
+            dp = chain_fn(seg_k[:, :A], tgt_k[:, :A], qry_k[:, :A], n_dp)
+            P = self._fused_p
+            out = stage1_codec.pack_stage1_fused(
+                ev.values, lo_c, qc_c, scalars,
+                dp.scores[:, :P], dp.preds[:, :P],
+                include_events=self._events_on_host,
+            )
+            # full-width DP output stays device-resident: rounds that
+            # replay more than P anchors refetch a wider prefix
+            dp_full = jnp.concatenate(
+                [
+                    dp.scores.astype(jnp.float32),
+                    jax.lax.bitcast_convert_type(
+                        dp.preds.astype(jnp.int32), jnp.float32
+                    ),
+                ],
+                axis=1,
+            )
+            return out, dp_full, hist
+
+        _fused_jit = jax.jit(_fused_stage, donate_argnums=(5,))
+        self._stage1_fused = (
+            lambda packed_in, carried, hist, hist_off: _fused_jit(
+                self._keys, self._val_id, self._val_ps, packed_in, carried,
+                hist, hist_off,
+            )
+        )
+
+        def _dp_prefix(dp_full, w: int):
+            """Fetch a w-column prefix of the device-resident DP output
+            (scores cols [0,A), preds cols [A,2A))."""
+            f = self._slice_cache.get(w)
+            if f is None:
+                A = self._fused_w
+                f = jax.jit(
+                    lambda d: jnp.concatenate(
+                        [d[:, :w], d[:, A : A + w]], axis=1
+                    )
+                )
+                self._slice_cache[w] = f
+            return f(dp_full)
+
+        self._dp_prefix = _dp_prefix
         self.counters = {
             "seed_hits_compact_dropped": 0,
             "seed_hits_dropped": 0,
@@ -330,6 +512,8 @@ class MappingEngine:
             "reads_processed": 0,
             "dtw_tiles": 0,
             "dtw_cells": 0,
+            "fused_escalations": 0,
+            "fused_refetches": 0,
         }
         # wall-clock per engine phase (seconds), for profiling
         self.phase_times = {
@@ -429,6 +613,12 @@ class MappingEngine:
         SENT = self._SENT
         packed_in = np.zeros((B, L + 1), dtype=np.float32)
         hist_off = np.zeros(B, dtype=np.int32)
+        # carried anchors (anchors of chains surviving previous chunks,
+        # rmap.cpp:343-362) are gathered NOW: the fused path uploads
+        # them with the signal, and the host replay reuses these exact
+        # arrays so host and device see one anchor order
+        carried_lists: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        max_car = 0
         for i, st in enumerate(slots):
             if st is None:
                 continue
@@ -436,12 +626,44 @@ class MappingEngine:
             packed_in[i, : part.size] = part
             packed_in[i, L] = part.size
             hist_off[i] = st.ev_total
+            if st.chains:
+                prev_seg, prev_t, prev_q = [], [], []
+                for ch in st.chains:
+                    s = ch.reference_sequence_index * 2 + ch.strand
+                    for t, q in ch.anchors:
+                        prev_seg.append(s)
+                        prev_t.append(int(t))
+                        prev_q.append(int(q))
+                carried_lists[i] = (
+                    np.asarray(prev_seg, np.int64),
+                    np.asarray(prev_t, np.int64),
+                    np.asarray(prev_q, np.int64),
+                )
+                max_car = max(max_car, len(prev_seg))
         mark("build_inputs")
 
         hist = self._group_hist.get(g)
         if hist is None:
             hist = jnp.zeros((B, self._hmax), jnp.float32)
-        stage1_fut, hist_new = self._stage1(packed_in, hist, hist_off)
+        use_fused = self._fused and max_car <= self._fused_c
+        dp_full = None
+        if use_fused:
+            c_round = self._fused_c
+            carried_in = np.zeros((B, 3 * c_round + 2), dtype=np.int32)
+            for i, (cs, ct, cq) in carried_lists.items():
+                m = cs.size
+                carried_in[i, :m] = cs
+                carried_in[i, c_round : c_round + m] = ct
+                carried_in[i, 2 * c_round : 2 * c_round + m] = cq
+                carried_in[i, 3 * c_round] = m
+            for i, st in enumerate(slots):
+                if st is not None:
+                    carried_in[i, 3 * c_round + 1] = st.offset
+            stage1_fut, dp_full, hist_new = self._stage1_fused(
+                packed_in, carried_in, hist, hist_off
+            )
+        else:
+            stage1_fut, hist_new = self._stage1(packed_in, hist, hist_off)
         self._group_hist[g] = hist_new
         # start the device->host fetch NOW: device_get only issues the
         # transfer RPC when called, so without this the ~40 ms link
@@ -452,12 +674,24 @@ class MappingEngine:
         from rawalign_tpu import runtime
 
         packed = runtime.fetch(stage1_fut, label="stage1 fetch")
-        s1 = stage1_codec.unpack_stage1(
-            packed,
-            ne=opt.max_events_per_chunk,
-            ns=self._ns_out,
-            events_on_host=self._events_on_host,
-        )
+        fused_scores = fused_preds = None
+        if use_fused:
+            sf = stage1_codec.unpack_stage1_fused(
+                packed,
+                ne=opt.max_events_per_chunk,
+                ns=self._ns_out,
+                a=self._fused_p,
+                events_on_host=self._events_on_host,
+            )
+            s1 = sf.stage1
+            fused_scores, fused_preds = sf.scores, sf.preds
+        else:
+            s1 = stage1_codec.unpack_stage1(
+                packed,
+                ne=opt.max_events_per_chunk,
+                ns=self._ns_out,
+                events_on_host=self._events_on_host,
+            )
         ev_values = s1.ev_values
         h_lo, h_qpos, h_count = s1.lo, s1.qpos, s1.count
         ev_counts = s1.n_events
@@ -488,6 +722,11 @@ class MappingEngine:
         qry_b = np.zeros((B, A), dtype=np.int32)
         n_anch = np.zeros(B, dtype=np.int32)
         max_used = 0
+        # largest PRE-drop anchor count: fused DP results are only valid
+        # if the device saw every anchor the host replayed, i.e. no
+        # row's true count exceeded the fused width (the occ-ranked drop
+        # below caps n_anch, so max_used alone cannot tell)
+        max_true = 0
         for i, st in enumerate(slots):
             if not chain_this_round[i]:
                 continue
@@ -511,34 +750,38 @@ class MappingEngine:
                 strd = (ps & np.uint32(1)).astype(np.int64)
                 seg = tid * 2 + strd
                 qpos = np.repeat(h_qpos[i][sel], reps).astype(np.int64) + st.offset
+                occ = np.repeat(reps, reps).astype(np.int64)
             else:
                 seg = np.zeros(0, np.int64)
                 tpos = np.zeros(0, np.int64)
                 qpos = np.zeros(0, np.int64)
-            if st.chains:
-                prev_seg, prev_t, prev_q = [], [], []
-                for ch in st.chains:
-                    s = ch.reference_sequence_index * 2 + ch.strand
-                    for t, q in ch.anchors:
-                        prev_seg.append(s)
-                        prev_t.append(int(t))
-                        prev_q.append(int(q))
-                seg = np.concatenate([seg, np.asarray(prev_seg, np.int64)])
-                tpos = np.concatenate([tpos, np.asarray(prev_t, np.int64)])
-                qpos = np.concatenate([qpos, np.asarray(prev_q, np.int64)])
+                occ = np.zeros(0, np.int64)
+            if i in carried_lists:
+                cs, ct, cq = carried_lists[i]
+                seg = np.concatenate([seg, cs])
+                tpos = np.concatenate([tpos, ct])
+                qpos = np.concatenate([qpos, cq])
+                # carried anchors (surviving chains) are always kept
+                # under budget pressure: occ rank 0
+                occ = np.concatenate([occ, np.zeros(cs.size, np.int64)])
             order = np.lexsort((qpos, tpos, seg))
+            max_true = max(max_true, order.size)
             if order.size > A:
-                # over-budget rounds decimate UNIFORMLY across the
-                # sorted anchor list (keeping sorted order) instead of
-                # truncating the suffix: prefix-truncation silently
-                # unmapped every read whose true locus sorted late (high
-                # target positions on large genomes); decimation keeps
-                # proportional coverage of every segment, and chains
-                # re-rank under DTW. Rounds under budget (the normal
-                # case) remain exactly reference-parity.
+                # over-budget rounds drop the anchors of the HIGHEST-
+                # occurrence seeds first (an adaptive occurrence cap, in
+                # the spirit of the reference's shelved mid_occ filter,
+                # rmap.cpp:28-51): repetitive seeds carry the least
+                # mapping information, and dropping whole seeds
+                # preserves the chain structure of informative ones —
+                # measured far more accurate under flood than uniform
+                # thinning (tools/ref_parity.py --flood). Ties keep the
+                # earlier anchors in sorted order (deterministic).
+                # Rounds under budget (the normal case) remain exactly
+                # reference-parity.
                 self.counters["anchors_dropped"] += order.size - A
-                keep = np.linspace(0, order.size - 1, A).astype(np.int64)
-                order = order[keep]
+                keep_rank = np.argsort(occ[order], kind="stable")[:A]
+                keep_rank.sort()
+                order = order[keep_rank]
             m = order.size
             seg_b[i, :m] = seg[order]
             tgt_b[i, :m] = tpos[order]
@@ -578,25 +821,57 @@ class MappingEngine:
             charge_round()
             return
 
-        # chain DP on device, anchor axis bucketed to powers of two
-        a_round = 256
-        while a_round < max_used:
-            a_round *= 2
-        a_round = min(a_round, A)
-        packed_c = np.empty((B, 3 * a_round + 1), dtype=np.int32)
-        packed_c[:, :a_round] = seg_b[:, :a_round]
-        packed_c[:, a_round : 2 * a_round] = tgt_b[:, :a_round]
-        packed_c[:, 2 * a_round : 3 * a_round] = qry_b[:, :a_round]
-        packed_c[:, 3 * a_round] = n_anch
-        dp_fut = self._chain_dp(packed_c)
-        dp_fut.copy_to_host_async()  # see the stage1 note
-        yield
-        from rawalign_tpu import runtime
+        if use_fused and max_true <= self._fused_exp:
+            # the device DP saw exactly the anchors the host replayed
+            # (same expansion order, same 4-key sort) — its outputs are
+            # valid as-is; the chain upload+download round trip is gone
+            if max_used <= self._fused_p:
+                scores, preds = fused_scores, fused_preds
+            else:
+                # replayed wider than the downloaded prefix: refetch a
+                # wider prefix of the device-resident full-width DP
+                # output (an extra fetch but no recompute; yields so
+                # other pipeline groups' host work hides the link
+                # latency, like every other in-round fetch)
+                self.counters["fused_refetches"] += 1
+                w = 256
+                while w < max_used:
+                    w *= 2
+                w = min(w, self._fused_w)
+                wide_fut = self._dp_prefix(dp_full, w)
+                wide_fut.copy_to_host_async()
+                yield
+                from rawalign_tpu import runtime
 
-        dp_out = runtime.fetch(dp_fut, label="chain-DP fetch")
-        scores = dp_out[:, :a_round]
-        preds = dp_out.view(np.int32)[:, a_round:]
-        mark("chain_dp")
+                wide = runtime.fetch(wide_fut, label="DP prefix refetch")
+                scores = wide[:, :w]
+                preds = wide.view(np.int32)[:, w:]
+            mark("chain_dp")
+        else:
+            # escalation: the true anchor count outgrew the fused
+            # round's static width (or fusion is off) — run the
+            # two-step path on the host-built (possibly decimated)
+            # anchor arrays; anchor axis bucketed to powers of two
+            if use_fused:
+                self.counters["fused_escalations"] += 1
+            a_round = 256
+            while a_round < max_used:
+                a_round *= 2
+            a_round = min(a_round, A)
+            packed_c = np.empty((B, 3 * a_round + 1), dtype=np.int32)
+            packed_c[:, :a_round] = seg_b[:, :a_round]
+            packed_c[:, a_round : 2 * a_round] = tgt_b[:, :a_round]
+            packed_c[:, 2 * a_round : 3 * a_round] = qry_b[:, :a_round]
+            packed_c[:, 3 * a_round] = n_anch
+            dp_fut = self._chain_dp(packed_c)
+            dp_fut.copy_to_host_async()  # see the stage1 note
+            yield
+            from rawalign_tpu import runtime
+
+            dp_out = runtime.fetch(dp_fut, label="chain-DP fetch")
+            scores = dp_out[:, :a_round]
+            preds = dp_out.view(np.int32)[:, a_round:]
+            mark("chain_dp")
 
         # host traceback + DTW + decisions
         per_read_chains: dict[int, list[gchain.Chain]] = {}

@@ -92,6 +92,49 @@ def pack_stage1(ev_values, lo, qc, scalars, *, include_events: bool):
     return jnp.concatenate(parts, axis=1)
 
 
+def pack_stage1_fused(ev_values, lo, qc, scalars, scores, preds, *,
+                      include_events: bool):
+    """Fused stage1+chain layout: the plain stage1 blocks followed by
+    the chain-DP outputs ``scores`` (B, A) f32 and ``preds`` (B, A)
+    int32 (bitcast). The host replays hit expansion from (lo, qc) and
+    consumes scores/preds only when its replayed anchor count fits A.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    bc = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.int32), jnp.float32
+    )
+    parts = [ev_values] if include_events else []
+    parts += [bc(lo), bc(qc), bc(scalars), scores.astype(jnp.float32),
+              bc(preds)]
+    return jnp.concatenate(parts, axis=1)
+
+
+class Stage1FusedHost(NamedTuple):
+    stage1: "Stage1Host"
+    scores: np.ndarray  # (B, A) f32
+    preds: np.ndarray  # (B, A) int32
+
+
+def unpack_stage1_fused(packed: np.ndarray, *, ne: int, ns: int, a: int,
+                        events_on_host: bool) -> Stage1FusedHost:
+    base = (ne if events_on_host else 0) + 2 * ns + N_SCALARS
+    if packed.shape[1] != base + 2 * a:
+        raise ValueError(
+            f"fused stage1 packed width {packed.shape[1]} != expected "
+            f"{base + 2 * a} (ne={ne}, ns={ns}, a={a}, "
+            f"events_on_host={events_on_host}) — producer/consumer "
+            "layout drift"
+        )
+    s1 = unpack_stage1(
+        packed[:, :base], ne=ne, ns=ns, events_on_host=events_on_host
+    )
+    scores = packed[:, base : base + a]
+    preds = packed.view(np.int32)[:, base + a :]
+    return Stage1FusedHost(stage1=s1, scores=scores, preds=preds)
+
+
 class Stage1Host(NamedTuple):
     """Host view of one round's unpacked stage1 output."""
 

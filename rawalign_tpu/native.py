@@ -62,6 +62,11 @@ def load() -> ctypes.CDLL | None:
     lib.ra_dtw_banded_batch.argtypes = [
         f32, i64p, i64p, f32, i64p, i64p, i32arr, u8arr, ctypes.c_int64, f32,
     ]
+    lib.ra_dtw_global_tb.restype = ctypes.c_int64
+    lib.ra_dtw_global_tb.argtypes = [
+        f32, ctypes.c_int64, f32, ctypes.c_int64,
+        i32arr, f32, ctypes.POINTER(ctypes.c_float),
+    ]
     return lib
 
 
@@ -127,6 +132,24 @@ def dtw_banded_batch(pairs) -> np.ndarray:
             radius, excl, T, out,
         )
     return out
+
+
+def dtw_global_tb(a: np.ndarray, b: np.ndarray):
+    """Full-matrix global DTW traceback: (ij (L, 2) int32, diff (L,)
+    f32, cost). Path-identical to golden dtw_global_tb; C loop instead
+    of a per-cell Python loop (the --dtw-output-cigar hot path,
+    rmap.cpp:715-717)."""
+    lib = load()
+    a = np.ascontiguousarray(a, dtype=np.float32)
+    b = np.ascontiguousarray(b, dtype=np.float32)
+    cap = a.size + b.size
+    out_ij = np.empty((max(cap, 1), 2), dtype=np.int32)
+    out_diff = np.empty(max(cap, 1), dtype=np.float32)
+    cost = ctypes.c_float()
+    ln = lib.ra_dtw_global_tb(
+        a, a.size, b, b.size, out_ij, out_diff, ctypes.byref(cost)
+    )
+    return out_ij[:ln], out_diff[:ln], float(cost.value)
 
 
 def gen_peaks(

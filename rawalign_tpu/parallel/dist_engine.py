@@ -70,6 +70,9 @@ class DistributedMappingEngine(MappingEngine):
         n_dev = mesh.size
         bs = kw.pop("batch_size", 64)
         kw["batch_size"] = -(-bs // n_dev) * n_dev
+        # the distributed stage1 is the all-to-all routed (unfused)
+        # variant; chain DP runs as its own sharded dispatch
+        kw["fused"] = False
         super().__init__(index, opt, **kw)
         # the sharded DTW path assembles a replicated event pool on the
         # host, so events stay host-side in distributed mode
