@@ -100,7 +100,7 @@ class MappingEngine:
         seeds_out: int = 768,
         dtw_device_max_n: int = 2048,
         dtw_device_max_b: int = 2048,
-        fused: bool = True,
+        fused: bool = False,
     ):
         from rawalign_tpu import runtime
 
@@ -332,14 +332,24 @@ class MappingEngine:
 
         self._chain_dp = _chain_packed
 
-        # ---- fused stage1+chain -----------------------------------------
+        # ---- fused stage1+chain (opt-in; ctor fused=True) ----------------
         # One device dispatch runs events + sketch + lookup + hit
         # expansion + carried-anchor merge + 4-key sort + chain DP; the
         # host REPLAYS expansion+lexsort from the (lo, qc) blocks it
         # downloads anyway (deterministic given the shared idx
         # tie-break), so preds index the replayed anchor array exactly.
-        # Cuts the per-round serialized transfers 6 -> 4 (the packed_c
-        # upload and the separate chain-DP download disappear).
+        # Cuts the per-round uploads (the anchor upload — the largest
+        # transfer — disappears) and is PAF-identical to the two-step
+        # path (tests/test_fused_engine.py, verified on real TPU).
+        #
+        # Measured OFF by default on this environment: the tunneled
+        # link uploads at ~45 MB/s (cheap) while the fused stage's
+        # device cost (three multi-operand sorts at E=2*budget+carried,
+        # expansion gathers, full-width DP) serializes across pipeline
+        # groups on the one chip — interleaved A/B on the 200 kb bench:
+        # two-step 507 reads/s vs fused 426 (P=0) / 414 (P=512) /
+        # 480 (P=full). On deployments where host->device latency or
+        # upload bandwidth dominates instead, turn it on.
         #
         # ONE static shape variant: compiles of the fused program on the
         # remote TPU compile service run ~4 minutes EACH (measured), so
@@ -359,11 +369,20 @@ class MappingEngine:
         # (or whose carried anchors exceed the carried width) escalate
         # to the two-step path — detected on the host from the replayed
         # counts, so never silently wrong.
+        #
+        # P = 0: the main fetch carries NO DP columns; every round does
+        # a second, exactly-sized (pow2 of the replayed max) async
+        # prefix fetch of the device-resident DP output. Same download
+        # bytes and fetch count as the two-step path, but the anchor
+        # upload (the largest per-round transfer) is gone, and light
+        # workloads fetch narrow prefixes instead of a fixed-width
+        # block. (A nonzero P was measured WORSE on the tunneled link:
+        # heavy rounds paid the prefix AND the refetch.)
         self._fused = bool(fused)
         self._fused_w = self.max_anchors
         self._fused_exp = 2 * self.max_anchors
         self._fused_c = min(512, self.max_carried)
-        self._fused_p = min(512, self._fused_w)
+        self._fused_p = 0
         self._slice_cache: dict[int, object] = {}
         SENT_j = jnp.int32(SENT)
         IMAX = jnp.int32(0x7FFFFFFF)

@@ -84,6 +84,64 @@ def tandem_genome(
     return [Sequence(name=name, seq="".join(parts), rid=0)]
 
 
+def segdup_genome(
+    rng: np.random.Generator,
+    *,
+    total_len: int,
+    dup_len: int,
+    n_dups: int,
+    divergence: float = 0.02,
+    name: str = "segdup_seq0",
+) -> list[Sequence]:
+    """A genome with ``n_dups`` diverged copies of one ``dup_len``-bp
+    block scattered at random offsets over a ``total_len`` random
+    backbone — the segmental-duplication regime (d4/d5-class genomes)
+    where a read's true locus competes with near-identical paralogs far
+    away on the target axis."""
+    bases = "ACGT"
+    backbone = rng.choice(list(bases), size=total_len)
+    block = rng.choice(list(bases), size=dup_len)
+    starts = rng.choice(
+        max(total_len - dup_len, 1), size=n_dups, replace=False
+    )
+    for s in starts:
+        copy = block.copy()
+        n_mut = rng.binomial(dup_len, divergence)
+        for j in rng.choice(dup_len, size=n_mut, replace=False):
+            copy[j] = bases[int(rng.integers(0, 4))]
+        backbone[s : s + dup_len] = copy[: len(backbone) - s]
+    return [Sequence(name=name, seq="".join(backbone), rid=0)]
+
+
+def shuffled_repeat_genome(
+    rng: np.random.Generator,
+    *,
+    n_units: int,
+    unit_len: int,
+    n_blocks: int,
+    divergence: float = 0.03,
+    spacer_len: int = 400,
+    name: str = "shuffled_seq0",
+) -> list[Sequence]:
+    """A genome built from a small library of repeat units emitted in
+    random order with random spacers (transposon-like shuffled repeats):
+    unlike a tandem array, matching anchors are SCATTERED across the
+    whole target axis, the adversarial case for a bounded predecessor
+    window in the chaining DP."""
+    bases = "ACGT"
+    units = [rng.choice(list(bases), size=unit_len) for _ in range(n_units)]
+    parts = []
+    for _ in range(n_blocks):
+        parts.append("".join(rng.choice(list(bases), size=spacer_len)))
+        u = units[int(rng.integers(0, n_units))].copy()
+        n_mut = rng.binomial(unit_len, divergence)
+        for j in rng.choice(unit_len, size=n_mut, replace=False):
+            u[j] = bases[int(rng.integers(0, 4))]
+        parts.append("".join(u))
+    parts.append("".join(rng.choice(list(bases), size=spacer_len)))
+    return [Sequence(name=name, seq="".join(parts), rid=0)]
+
+
 def simulate_read_signal(
     rng: np.random.Generator,
     seq: str,

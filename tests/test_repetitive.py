@@ -84,3 +84,37 @@ def test_large_anchor_round_regression(tandem):
     n_correct, counters = _run(ds, idx, mo, max_occ=256, max_anchors=4096)
     assert counters["anchors_dropped"] > 0  # budget actually flooded
     assert n_correct == len(ds.reads)
+
+
+@pytest.fixture(scope="module")
+def segdup():
+    """Scaled-down segmental-duplication scenario (the 5 Mb version
+    lives in tools/chain_window_study.py -> docs/window_study.json)."""
+    rng = np.random.default_rng(77)
+    ds = synth.make_dataset(
+        seed=25,
+        n_reads=8,
+        read_len_bp=(300, 900),
+        noise_pa=1.5,
+        seqs=synth.segdup_genome(
+            rng, total_len=600_000, dup_len=15_000, n_dups=12,
+            divergence=0.02,
+        ),
+    )
+    io = config.IndexOptions()
+    mo = config.MappingOptions()
+    config.set_opt("sensitive", io, mo)
+    mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
+    return ds, idx, mo
+
+
+def test_segdup_accuracy_and_window_invariance(segdup):
+    """Paralogs scattered across the target axis (d4/d5-class regime,
+    docs/window_study.json segdup_5mb/shuffled_5mb): window 64 == 256
+    and the occ-capped engine still places reads at the true locus."""
+    ds, idx, mo = segdup
+    a, ca = _run(ds, idx, mo, chain_window=64, max_occ=64, max_anchors=2048)
+    b, _ = _run(ds, idx, mo, chain_window=256, max_occ=64, max_anchors=2048)
+    assert a == b
+    assert a >= len(ds.reads) - 1  # ≥7/8 at the true locus

@@ -64,6 +64,23 @@ def scenarios(n_reads):
         seed=24, genome_lengths=[100_000], n_reads=n_reads,
         read_len_bp=(300, 900), noise_pa=3.0,
     )
+    # ---- 5 Mb adversarial scenarios (VERDICT r2 weak #5): beyond
+    # tandem arrays — paralogs scattered across the target axis, where
+    # the bounded predecessor window and the anchor budget both bite
+    yield "segdup_5mb", synth.make_dataset(
+        seed=25, n_reads=n_reads, read_len_bp=(300, 900), noise_pa=1.5,
+        seqs=synth.segdup_genome(
+            rng, total_len=5_000_000, dup_len=20_000, n_dups=30,
+            divergence=0.02,
+        ),
+    )
+    yield "shuffled_5mb", synth.make_dataset(
+        seed=26, n_reads=n_reads, read_len_bp=(300, 900), noise_pa=1.5,
+        seqs=synth.shuffled_repeat_genome(
+            rng, n_units=8, unit_len=1000, n_blocks=3000,
+            divergence=0.03, spacer_len=400,
+        ),
+    )
 
 
 def locus_match(res, read, seqs):
