@@ -395,4 +395,67 @@ void ra_dtw_banded_batch(const float* a_pool, const int64_t* a_off,
   }
 }
 
+// Batched bounded-window chaining DP over flattened per-read anchor
+// arrays (reference semantics: rmap.cpp:427-484; window-bounded exactly
+// like the device kernel rawalign_tpu/map/chain.py — same scores and
+// predecessor choices bit-for-bit: every arithmetic step is int32 or a
+// single f32 add/divide, no contraction opportunities). Anchors of one
+// read are sorted by (segment = target*2 + strand, target_pos,
+// query_pos); cross-segment window slots are inert (no score, no skip
+// count, no break), matching the reference's per-(target,strand)-list
+// iteration. On this framework's tunneled-TPU deployments the real
+// per-round anchor data is tiny (a few MB of cell updates), so running
+// the DP host-side removes a device round trip; results are identical
+// to the device path by construction.
+void ra_chain_dp(const int32_t* seg, const int32_t* tgt, const int32_t* qry,
+                 const int32_t* n_anchors, int64_t B, int64_t A, int window,
+                 int e, int max_gap, int max_target_gap, int max_skips,
+                 float* out_scores, int32_t* out_preds) {
+  const float init_score = (float)e;
+  for (int64_t b = 0; b < B; ++b) {
+    const int32_t* s = seg + b * A;
+    const int32_t* t = tgt + b * A;
+    const int32_t* q = qry + b * A;
+    float* f = out_scores + b * A;
+    int32_t* p = out_preds + b * A;
+    const int64_t n = n_anchors[b] < A ? n_anchors[b] : A;
+    for (int64_t i = 0; i < n; ++i) {
+      float best = init_score;
+      int32_t pred = (int32_t)i;
+      const int32_t cs = s[i], ct = t[i], cq = q[i];
+      const int64_t lo = i - window > 0 ? i - window : 0;
+      int num_skips = 0;
+      for (int64_t j = i - 1; j >= lo; --j) {
+        if (s[j] != cs) continue;  // inert cross-segment slot
+        if (q[j] == cq || t[j] == ct) continue;  // rmap.cpp:456-457
+        if (t[j] + max_target_gap < ct) break;   // rmap.cpp:458
+        const int32_t qdiff = cq - q[j];
+        if (qdiff < 0) continue;  // rmap.cpp:465
+        const int32_t tdiff = ct - t[j];
+        float current = 0.0f;
+        const int32_t m32 = tdiff < qdiff ? tdiff : qdiff;
+        const float matching = (float)(m32 < e ? m32 : e);
+        const int32_t gap_length = tdiff > qdiff ? tdiff - qdiff : qdiff - tdiff;
+        const float gap_scale =
+            tdiff > 0 ? (float)qdiff / (float)tdiff : 1.0f;
+        if (gap_length < max_gap && gap_scale < 5.0f && gap_scale > 0.75f)
+          current = f[j] + matching;  // rmap.cpp:472-474
+        if (current > best) {
+          best = current;
+          pred = (int32_t)j;
+          --num_skips;  // rmap.cpp:476-478
+        } else {
+          if (++num_skips > max_skips) break;  // rmap.cpp:479-483
+        }
+      }
+      f[i] = best;
+      p[i] = pred;
+    }
+    for (int64_t i = n; i < A; ++i) {
+      f[i] = 0.0f;
+      p[i] = (int32_t)i;
+    }
+  }
+}
+
 }  // extern "C"

@@ -101,6 +101,7 @@ class MappingEngine:
         dtw_device_max_n: int = 2048,
         dtw_device_max_b: int = 2048,
         fused: bool = False,
+        chain_impl: str = "auto",
     ):
         from rawalign_tpu import runtime
 
@@ -279,6 +280,32 @@ class MappingEngine:
         self._h_val_ps = np.asarray(index.val_ps)
 
         import os
+
+        # chaining DP placement: the per-round anchor data is TINY (a
+        # few MB of cell updates at window 64), so on link-latency-bound
+        # deployments the DP runs on the HOST in C (native.chain_dp,
+        # bit-identical to the device kernel by construction —
+        # tests/test_native.py fuzzes them against each other), removing
+        # one full device round trip per round (upload + fetch). The
+        # device path stays for mesh-sharded runs (the distributed
+        # engine forces it) and as the no-toolchain fallback.
+        if chain_impl not in ("auto", "native", "device"):
+            raise ValueError(f"chain_impl must be auto|native|device: {chain_impl}")
+        if chain_impl == "auto":
+            from rawalign_tpu import native as _native
+
+            chain_impl = (
+                "native" if _native.chain_dp_available() else "device"
+            )
+        elif chain_impl == "native":
+            from rawalign_tpu import native as _native
+
+            if not _native.chain_dp_available():
+                raise RuntimeError(
+                    "chain_impl='native' requires the native host library "
+                    "(make -C native)"
+                )
+        self._chain_native = chain_impl == "native"
 
         # the fused kernel on real hardware; the XLA scan on CPU (it is
         # the bit-equivalent reference — interpret-mode Pallas would run
@@ -865,6 +892,24 @@ class MappingEngine:
                 wide = runtime.fetch(wide_fut, label="DP prefix refetch")
                 scores = wide[:, :w]
                 preds = wide.view(np.int32)[:, w:]
+            mark("chain_dp")
+        elif self._chain_native:
+            # host C chaining DP (bit-identical to the device kernel):
+            # no anchor upload, no DP fetch — the round's only device
+            # round trips are stage1 and DTW
+            from rawalign_tpu import native
+
+            if use_fused:
+                self.counters["fused_escalations"] += 1
+            io = self.index.opt
+            scores, preds = native.chain_dp(
+                seg_b, tgt_b, qry_b, n_anch,
+                window=self.chain_window,
+                e=io.e,
+                max_gap=opt.max_gap_length,
+                max_target_gap=opt.max_target_gap_length,
+                max_skips=opt.max_num_skips,
+            )
             mark("chain_dp")
         else:
             # escalation: the true anchor count outgrew the fused

@@ -20,16 +20,23 @@ _SO = os.path.join(_NATIVE_DIR, "librawalign_host.so")
 
 @functools.lru_cache(maxsize=1)
 def load() -> ctypes.CDLL | None:
-    if not os.path.exists(_SO):
-        src = os.path.join(_NATIVE_DIR, "rawalign_host.cpp")
+    src = os.path.join(_NATIVE_DIR, "rawalign_host.cpp")
+    stale = (
+        os.path.exists(src)
+        and os.path.exists(_SO)
+        and os.path.getmtime(src) > os.path.getmtime(_SO)
+    )
+    if not os.path.exists(_SO) or stale:
         if not os.path.exists(src):
             return None
         try:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True, capture_output=True
+                ["make", "-C", _NATIVE_DIR] + (["-B"] if stale else []),
+                check=True, capture_output=True,
             )
         except (subprocess.CalledProcessError, FileNotFoundError):
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
@@ -67,6 +74,13 @@ def load() -> ctypes.CDLL | None:
         f32, ctypes.c_int64, f32, ctypes.c_int64,
         i32arr, f32, ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "ra_chain_dp"):
+        lib.ra_chain_dp.restype = None
+        lib.ra_chain_dp.argtypes = [
+            i32arr, i32arr, i32arr, i32arr,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, f32, i32arr,
+        ]
     return lib
 
 
@@ -150,6 +164,41 @@ def dtw_global_tb(a: np.ndarray, b: np.ndarray):
         a, a.size, b, b.size, out_ij, out_diff, ctypes.byref(cost)
     )
     return out_ij[:ln], out_diff[:ln], float(cost.value)
+
+
+def chain_dp_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_chain_dp")
+
+
+def chain_dp(
+    seg: np.ndarray,  # (B, A) int32, sorted (segment, target, query)
+    tgt: np.ndarray,
+    qry: np.ndarray,
+    n_anchors: np.ndarray,  # (B,) int32
+    *,
+    window: int,
+    e: int,
+    max_gap: int,
+    max_target_gap: int,
+    max_skips: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host chaining DP (C), bit-identical to the device kernel
+    (map/chain.py) and the golden model within the bounded window.
+    Returns (scores (B, A) f32, preds (B, A) i32)."""
+    lib = load()
+    seg = np.ascontiguousarray(seg, dtype=np.int32)
+    tgt = np.ascontiguousarray(tgt, dtype=np.int32)
+    qry = np.ascontiguousarray(qry, dtype=np.int32)
+    n_anchors = np.ascontiguousarray(n_anchors, dtype=np.int32)
+    B, A = seg.shape
+    scores = np.empty((B, A), dtype=np.float32)
+    preds = np.empty((B, A), dtype=np.int32)
+    lib.ra_chain_dp(
+        seg, tgt, qry, n_anchors, B, A, window, e,
+        max_gap, max_target_gap, max_skips, scores, preds,
+    )
+    return scores, preds
 
 
 def gen_peaks(

@@ -71,8 +71,10 @@ class DistributedMappingEngine(MappingEngine):
         bs = kw.pop("batch_size", 64)
         kw["batch_size"] = -(-bs // n_dev) * n_dev
         # the distributed stage1 is the all-to-all routed (unfused)
-        # variant; chain DP runs as its own sharded dispatch
+        # variant; chain DP runs as its own sharded dispatch (the host-C
+        # chain path would serialize the mesh's reads on one host core)
         kw["fused"] = False
+        kw["chain_impl"] = "device"
         super().__init__(index, opt, **kw)
         # the sharded DTW path assembles a replicated event pool on the
         # host, so events stay host-side in distributed mode

@@ -54,3 +54,70 @@ def test_native_gen_peaks_matches_golden():
         opt.window_length1, opt.window_length2, opt.peak_height,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_native_chain_dp_matches_device():
+    """Fuzz the host C chaining DP against the device kernel
+    (map/chain.py) — bit-identical scores and predecessor choices
+    (rmap.cpp:427-484 semantics, window-bounded)."""
+    from rawalign_tpu.map import chain as dchain
+
+    if not native.chain_dp_available():
+        pytest.skip("native lib without ra_chain_dp")
+    rng = np.random.default_rng(7)
+    for _ in range(12):
+        B = int(rng.integers(1, 6))
+        A = int(rng.integers(4, 260))
+        n = rng.integers(0, A + 1, B).astype(np.int32)
+        seg = np.full((B, A), 0x7FFFFFFF, np.int32)
+        tgt = np.zeros((B, A), np.int32)
+        qry = np.zeros((B, A), np.int32)
+        for b in range(B):
+            m = n[b]
+            s = rng.integers(0, 4, m)
+            t = rng.integers(0, 3000, m)
+            q = rng.integers(0, 500, m)
+            o = np.lexsort((q, t, s))
+            seg[b, :m], tgt[b, :m], qry[b, :m] = s[o], t[o], q[o]
+        W = int(rng.choice([8, 64, 128]))
+        kw = dict(window=W, e=6, max_gap=2000, max_target_gap=5000,
+                  max_skips=25)
+        ns, npred = native.chain_dp(seg, tgt, qry, n, **kw)
+        dp = dchain.chain_dp_batch(seg, tgt, qry, n, **kw)
+        np.testing.assert_array_equal(ns, np.asarray(dp.scores))
+        np.testing.assert_array_equal(npred, np.asarray(dp.preds))
+
+
+def test_engine_paf_identical_native_vs_device_chain():
+    """The engine produces byte-identical PAF with chain_impl='native'
+    and 'device' (mt:f timing tag excluded)."""
+    import re
+
+    from rawalign_tpu import config as cfg
+    from rawalign_tpu.config import MappingFlag
+    from rawalign_tpu.index import index as dindex
+    from rawalign_tpu.io import paf
+    from rawalign_tpu.map.engine import MappingEngine
+    from rawalign_tpu.testing import synth
+
+    if not native.chain_dp_available():
+        pytest.skip("native lib without ra_chain_dp")
+    ds = synth.make_dataset(
+        seed=11, genome_lengths=[8000, 4000], n_reads=12,
+        read_len_bp=(150, 300),
+    )
+    io, mo = cfg.IndexOptions(), cfg.MappingOptions()
+    cfg.set_opt("viral", io, mo)
+    mo.set_flag(MappingFlag.DTW_EVALUATE_CHAINS)
+    mo.max_events_per_chunk = 256
+    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
+    reads = [(r.name, r.signal) for r in ds.reads]
+    strip = lambda s: re.sub(r"\tmt:f:[^\t]*", "", s)
+    pafs = {}
+    for impl in ("native", "device"):
+        eng = MappingEngine(idx, mo, batch_size=8, chain_impl=impl)
+        pafs[impl] = sorted(
+            strip(paf.paf_line(r)) for r in eng.map_reads(iter(reads))
+        )
+    assert pafs["native"] == pafs["device"]
+    assert any("\t+" in ln or "\t-" in ln for ln in pafs["native"])
