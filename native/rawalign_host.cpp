@@ -407,6 +407,104 @@ void ra_dtw_banded_batch(const float* a_pool, const int64_t* a_off,
 // per-round anchor data is tiny (a few MB of cell updates), so running
 // the DP host-side removes a device round trip; results are identical
 // to the device path by construction.
+// End-candidate selection + chain traceback from DP results (reference
+// semantics: rmap.cpp:486-505 candidate filter + rmap.cpp:130-173
+// traceback with used-anchor marking), replicating the Python
+// implementation in rawalign_tpu/map/postprocess.py::chains_from_dp
+// exactly (same candidate order, same used-mark sequence, same
+// double-precision score adjustment). Outputs: concatenated anchor
+// indices in traceback order (end -> start), per-chain offsets
+// (n_chains+1 entries), per-chain end-anchor index and adjusted score.
+// Buffers sized n are always enough (every anchor joins at most one
+// chain). Returns the chain count.
+int64_t ra_chains_from_dp(const int32_t* seg, const int32_t* tgt,
+                          const int32_t* qry, const float* scores,
+                          const int32_t* preds, int64_t n,
+                          double min_chaining_score, int num_best_chains,
+                          int min_num_anchors, int disable_filter,
+                          int32_t* out_anchor_idx, int64_t* out_chain_off,
+                          int32_t* out_end_idx, double* out_score) {
+  (void)tgt;
+  (void)qry;
+  if (n <= 0) return 0;
+  // running max (inclusive) of scores, shared across segments
+  float* running = new float[n];
+  float rm = scores[0];
+  for (int64_t i = 0; i < n; ++i) {
+    if (scores[i] > rm) rm = scores[i];
+    running[i] = rm;
+  }
+  bool* used = new bool[n]();
+  int64_t n_chains = 0;
+  int64_t a_cursor = 0;
+  out_chain_off[0] = 0;
+  // candidate scratch (per segment)
+  int64_t* cand = new int64_t[n];
+  for (int64_t s0 = 0; s0 < n;) {
+    int64_t s1 = s0 + 1;
+    while (s1 < n && seg[s1] == seg[s0]) ++s1;
+    int64_t nc = 0;
+    for (int64_t i = s0; i < s1; ++i) {
+      const bool ok =
+          disable_filter ||
+          ((double)scores[i] >= min_chaining_score &&
+           scores[i] > running[i] / 2.0f);
+      if (ok) cand[nc++] = i;
+    }
+    if (nc) {
+      // sort by (score desc, index desc) — insertion sort is fine, the
+      // candidate lists are short (score-filtered)
+      for (int64_t a = 1; a < nc; ++a) {
+        const int64_t v = cand[a];
+        int64_t b = a - 1;
+        while (b >= 0 && (scores[cand[b]] < scores[v] ||
+                          (scores[cand[b]] == scores[v] && cand[b] < v))) {
+          cand[b + 1] = cand[b];
+          --b;
+        }
+        cand[b + 1] = v;
+      }
+      const float seg_max = running[s1 - 1];
+      for (int64_t rank = 0; rank < nc && rank < num_best_chains; ++rank) {
+        const int64_t end_idx = cand[rank];
+        if (!used[end_idx]) {
+          // traceback with used marking (rmap.cpp:130-173)
+          const int64_t chain_start = a_cursor;
+          int64_t start = end_idx;
+          bool stop_at_used = false;
+          out_anchor_idx[a_cursor++] = (int32_t)end_idx;
+          if (preds[start] != start && used[preds[start]])
+            stop_at_used = true;
+          used[start] = true;
+          while (preds[start] != start && !used[preds[start]]) {
+            start = preds[start];
+            out_anchor_idx[a_cursor++] = (int32_t)start;
+            if (preds[start] != start && used[preds[start]])
+              stop_at_used = true;
+            used[start] = true;
+          }
+          const int64_t len = a_cursor - chain_start;
+          if (len >= min_num_anchors) {
+            double score = (double)scores[end_idx];
+            if (stop_at_used) score -= (double)scores[preds[start]];
+            out_end_idx[n_chains] = (int32_t)end_idx;
+            out_score[n_chains] = score;
+            out_chain_off[++n_chains] = a_cursor;
+          } else {
+            a_cursor = chain_start;  // discard (anchors stay marked)
+          }
+        }
+        if (!disable_filter && scores[end_idx] < seg_max / 2.0f) break;
+      }
+    }
+    s0 = s1;
+  }
+  delete[] cand;
+  delete[] used;
+  delete[] running;
+  return n_chains;
+}
+
 void ra_chain_dp(const int32_t* seg, const int32_t* tgt, const int32_t* qry,
                  const int32_t* n_anchors, int64_t B, int64_t A, int window,
                  int e, int max_gap, int max_target_gap, int max_skips,

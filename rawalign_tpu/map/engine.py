@@ -306,6 +306,15 @@ class MappingEngine:
                     "(make -C native)"
                 )
         self._chain_native = chain_impl == "native"
+        # chain traceback + Chain assembly: C fast path when available
+        # (identical output; tests/test_native.py pins equality)
+        from rawalign_tpu import native as _native
+
+        self._chains_from_dp = (
+            postprocess.chains_from_dp_fast
+            if _native.chains_from_dp_available()
+            else postprocess.chains_from_dp
+        )
 
         # the fused kernel on real hardware; the XLA scan on CPU (it is
         # the bit-equivalent reference — interpret-mode Pallas would run
@@ -946,7 +955,7 @@ class MappingEngine:
         for i, st in enumerate(slots):
             if not chain_this_round[i]:
                 continue
-            chains = postprocess.chains_from_dp(
+            chains = self._chains_from_dp(
                 seg_b[i], tgt_b[i], qry_b[i], scores[i], preds[i],
                 int(n_anch[i]), opt,
             )
@@ -979,15 +988,16 @@ class MappingEngine:
                     ref_base = self._sig_base[
                         (ch.strand, ch.reference_sequence_index)
                     ]
-                    rows = postprocess.build_chain_tile_descs(
+                    rows = postprocess.build_chain_tile_descs_vec(
                         ch, ref_base, ev_base, opt
                     )
-                    all_descs.extend(rows)
-                    tile_owner.extend((i, ci) for _ in rows)
+                    if len(rows):
+                        all_descs.append(rows)
+                        tile_owner.extend((i, ci) for _ in range(len(rows)))
         mark("traceback")
 
         if use_dtw and all_descs:
-            da = np.asarray(all_descs, dtype=np.int64)
+            da = np.concatenate(all_descs)
             ev_cat = (
                 np.concatenate(ev_parts)
                 if ev_parts
@@ -1007,7 +1017,7 @@ class MappingEngine:
             yield
             costs = tiles.dtw_collect(pending)
             mark("dtw")
-            self.counters["dtw_tiles"] += len(all_descs)
+            self.counters["dtw_tiles"] += int(da.shape[0])
             self.counters["dtw_cells"] += int(
                 np.sum(
                     da[:, 1] * np.minimum(2 * da[:, 4] + 1, da[:, 3])

@@ -112,6 +112,56 @@ def _traceback_one(
         )
 
 
+def chains_from_dp_fast(
+    seg: np.ndarray,
+    target: np.ndarray,
+    query: np.ndarray,
+    scores: np.ndarray,
+    preds: np.ndarray,
+    n: int,
+    opt: MappingOptions,
+) -> list[Chain]:
+    """``chains_from_dp`` with the candidate selection + traceback in C
+    (native.chains_from_dp_raw) and vectorized Chain assembly. Identical
+    chain set, order, scores and anchors (tests/test_native.py pins
+    equality); the Python version remains the readable reference."""
+    from rawalign_tpu import native
+
+    if n == 0:
+        return []
+    aidx, off, eidx, sc = native.chains_from_dp_raw(
+        seg, target, query, scores, preds, n,
+        min_chaining_score=opt.min_chaining_score,
+        num_best_chains=opt.num_best_chains,
+        min_num_anchors=opt.min_num_anchors,
+        disable_filter=bool(
+            opt.flag & MappingFlag.DISABLE_CHAININGSCORE_FILTERING
+        ),
+    )
+    chains: list[Chain] = []
+    tgt_u = target.astype(np.uint32, copy=False)
+    qry_u = query.astype(np.uint32, copy=False)
+    for k in range(eidx.size):
+        idxs = aidx[off[k] : off[k + 1]]
+        e = int(eidx[k])
+        s = int(seg[e])
+        anchors = np.column_stack((tgt_u[idxs], qry_u[idxs]))
+        chains.append(
+            Chain(
+                chaining_score=float(sc[k]),
+                alignment_score=0.0,
+                reference_sequence_index=s >> 1,
+                start_position=int(target[idxs[-1]]),
+                end_position=int(target[e]),
+                n_anchors=idxs.size,
+                mapq=0,
+                strand=s & 1,
+                anchors=anchors,
+            )
+        )
+    return chains
+
+
 def build_chain_tiles(
     chain: Chain, ref_events: np.ndarray, read_events: np.ndarray,
     opt: MappingOptions,
@@ -184,6 +234,51 @@ def build_chain_tile_descs(
             )
     else:
         raise ValueError("invalid border constraint")
+    return rows
+
+
+def build_chain_tile_descs_vec(
+    chain: Chain, ref_base: int, ev_base: int, opt: MappingOptions
+) -> np.ndarray:
+    """Vectorized ``build_chain_tile_descs``: one (parts, 6) int64 array
+    per chain instead of a Python loop over anchor pairs (chains carry
+    up to hundreds of anchors; this is the engine's per-round host hot
+    loop). Row-identical to the scalar version (pinned in
+    tests/test_native.py)."""
+    a = chain.anchors.astype(np.int64)
+    if opt.dtw_border_constraint == BorderConstraint.GLOBAL:
+        return np.asarray(
+            build_chain_tile_descs(chain, ref_base, ev_base, opt),
+            dtype=np.int64,
+        ).reshape(-1, 6)
+    if opt.dtw_border_constraint != BorderConstraint.SPARSE:
+        raise ValueError("invalid border constraint")
+    parts = chain.n_anchors - 1
+    if parts <= 0:
+        return np.zeros((0, 6), dtype=np.int64)
+    # part p: sa = anchors[parts - p], ea = anchors[parts - p - 1]
+    sa = a[1:][::-1]
+    ea = a[:-1][::-1]
+    t0, q0 = sa[:, 0], sa[:, 1]
+    t1, q1 = ea[:, 0], ea[:, 1]
+    ql = q1 - q0 + 1
+    tl = t1 - t0 + 1
+    if opt.dtw_fill_method == FillMethod.FULL:
+        radius = np.maximum(1, ql)
+    else:
+        radius = np.maximum(
+            1, (ql * opt.dtw_band_radius_frac).astype(np.int64)
+        )
+    excl = np.ones(parts, dtype=np.int64)
+    excl[-1] = 0  # the last part keeps its final element (rmap.cpp:298)
+    swap = tl > ql
+    rows = np.empty((parts, 6), dtype=np.int64)
+    rows[:, 0] = np.where(swap, ref_base + t0, ev_base + q0)
+    rows[:, 1] = np.where(swap, tl, ql)
+    rows[:, 2] = np.where(swap, ev_base + q0, ref_base + t0)
+    rows[:, 3] = np.where(swap, ql, tl)
+    rows[:, 4] = radius
+    rows[:, 5] = excl
     return rows
 
 

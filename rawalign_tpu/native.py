@@ -81,6 +81,14 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, f32, i32arr,
         ]
+    if hasattr(lib, "ra_chains_from_dp"):
+        f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.ra_chains_from_dp.restype = ctypes.c_int64
+        lib.ra_chains_from_dp.argtypes = [
+            i32arr, i32arr, i32arr, f32, i32arr, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            i32arr, i64p, i32arr, f64,
+        ]
     return lib
 
 
@@ -199,6 +207,49 @@ def chain_dp(
         max_gap, max_target_gap, max_skips, scores, preds,
     )
     return scores, preds
+
+
+def chains_from_dp_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_chains_from_dp")
+
+
+def chains_from_dp_raw(
+    seg: np.ndarray,
+    tgt: np.ndarray,
+    qry: np.ndarray,
+    scores: np.ndarray,
+    preds: np.ndarray,
+    n: int,
+    *,
+    min_chaining_score: float,
+    num_best_chains: int,
+    min_num_anchors: int,
+    disable_filter: bool,
+):
+    """C end-candidate selection + traceback (rmap.cpp:486-505,130-173).
+    Returns (anchor_idx (total,) i32 in end->start order, chain_off
+    (n_chains+1,) i64, end_idx (n_chains,) i32, score (n_chains,) f64) —
+    identical chain set/order to postprocess.chains_from_dp."""
+    lib = load()
+    seg = np.ascontiguousarray(seg[:n], dtype=np.int32)
+    tgt = np.ascontiguousarray(tgt[:n], dtype=np.int32)
+    qry = np.ascontiguousarray(qry[:n], dtype=np.int32)
+    scores = np.ascontiguousarray(scores[:n], dtype=np.float32)
+    preds = np.ascontiguousarray(preds[:n], dtype=np.int32)
+    cap = max(n, 1)
+    anchor_idx = np.empty(cap, dtype=np.int32)
+    chain_off = np.empty(cap + 1, dtype=np.int64)
+    end_idx = np.empty(cap, dtype=np.int32)
+    score = np.empty(cap, dtype=np.float64)
+    nc = lib.ra_chains_from_dp(
+        seg, tgt, qry, scores, preds, n,
+        float(min_chaining_score), int(num_best_chains),
+        int(min_num_anchors), int(disable_filter),
+        anchor_idx, chain_off, end_idx, score,
+    )
+    total = int(chain_off[nc]) if nc else 0
+    return anchor_idx[:total], chain_off[: nc + 1], end_idx[:nc], score[:nc]
 
 
 def gen_peaks(

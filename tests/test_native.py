@@ -121,3 +121,52 @@ def test_engine_paf_identical_native_vs_device_chain():
         )
     assert pafs["native"] == pafs["device"]
     assert any("\t+" in ln or "\t-" in ln for ln in pafs["native"])
+
+
+def test_native_chains_from_dp_matches_python():
+    """C candidate selection + traceback == Python chains_from_dp on
+    randomized DP outputs (chain set, order, scores, anchors), and the
+    vectorized tile-descriptor builder row-matches the scalar one."""
+    from rawalign_tpu import config as cfg
+    from rawalign_tpu.map import chain as dchain
+    from rawalign_tpu.map import postprocess
+
+    if not native.chains_from_dp_available():
+        pytest.skip("native lib without ra_chains_from_dp")
+    opt = cfg.MappingOptions()
+    opt.set_flag(cfg.MappingFlag.DTW_EVALUATE_CHAINS)
+    rng = np.random.default_rng(13)
+    for trial in range(10):
+        A = int(rng.integers(8, 400))
+        m = int(rng.integers(0, A + 1))
+        s = rng.integers(0, 4, m)
+        t = rng.integers(0, 3000, m)
+        q = rng.integers(0, 500, m)
+        o = np.lexsort((q, t, s))
+        seg = np.full(A, 0x7FFFFFFF, np.int32)
+        tgt = np.zeros(A, np.int32)
+        qry = np.zeros(A, np.int32)
+        seg[:m], tgt[:m], qry[:m] = s[o], t[o], q[o]
+        dp = dchain.chain_dp_batch(
+            seg[None], tgt[None], qry[None],
+            np.asarray([m], np.int32),
+            window=64, e=6, max_gap=2000, max_target_gap=5000, max_skips=25,
+        )
+        sc = np.asarray(dp.scores)[0]
+        pr = np.asarray(dp.preds)[0]
+        want = postprocess.chains_from_dp(seg, tgt, qry, sc, pr, m, opt)
+        got = postprocess.chains_from_dp_fast(seg, tgt, qry, sc, pr, m, opt)
+        assert len(got) == len(want), trial
+        for cw, cg in zip(want, got):
+            assert cg.chaining_score == cw.chaining_score
+            assert cg.reference_sequence_index == cw.reference_sequence_index
+            assert cg.strand == cw.strand
+            assert cg.start_position == cw.start_position
+            assert cg.end_position == cw.end_position
+            assert cg.n_anchors == cw.n_anchors
+            np.testing.assert_array_equal(cg.anchors, cw.anchors)
+            rows_w = postprocess.build_chain_tile_descs(cw, 100, 9000, opt)
+            rows_g = postprocess.build_chain_tile_descs_vec(cg, 100, 9000, opt)
+            np.testing.assert_array_equal(
+                np.asarray(rows_w, np.int64).reshape(-1, 6), rows_g
+            )
