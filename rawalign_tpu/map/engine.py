@@ -41,6 +41,7 @@ from rawalign_tpu.golden import chain as gchain
 from rawalign_tpu.golden import engine as gengine
 from rawalign_tpu.index.index import RawIndex
 from rawalign_tpu.io import paf
+from rawalign_tpu.map import anchors as manchors
 from rawalign_tpu.map import chain as dchain
 from rawalign_tpu.map import postprocess, stage1_codec, tiles
 from rawalign_tpu.seeds import sketch as dsketch
@@ -132,6 +133,12 @@ class MappingEngine:
         self._keys = jnp.asarray(index.keys)
         self._val_id = jnp.asarray(index.val_id)
         self._val_ps = jnp.asarray(index.val_ps)
+        # bucketed unique-key tables: the stage1 lookup costs ~13
+        # device gathers per seed instead of 2*log2(S) (index/query.py
+        # BucketedKeys — the khash-analog fast path)
+        from rawalign_tpu.index import query as dquery
+
+        self._bk = dquery.build_bucketed_keys(np.asarray(index.keys))
         self._signals = index.signals  # host {strand: [per-seq float32]}
         # resident flat reference-signal pool + per-(strand, seq) bases
         # for the indexed DTW dispatch (only tile descriptors cross the
@@ -167,7 +174,12 @@ class MappingEngine:
         self._ns_out = min(seeds_out, ne)
         self._hmax = opt.max_num_chunk * ne
 
-        def _stage1_core(keys, chunks, lengths, hist, hist_off):
+        _bk_steps = self._bk.n_steps
+        _bk_bits = self._bk.b_bits
+
+        def _stage1_core(bt, chunks, lengths, hist, hist_off):
+            # bt = (ku, kidx, kcnt, boff) jit arguments (NOT closure
+            # constants: same-shape index swaps reuse the compile)
             """Events + sketch + index lookup BOUNDS (+ device event
             history append) — the shared device body of both the plain
             stage1 (hit expansion and anchor sort on the HOST: the real
@@ -220,14 +232,8 @@ class MappingEngine:
             n_valid = jnp.sum(seeds.valid, axis=1).astype(jnp.int32)
             # seeds (not hits — they were never looked up) beyond ns_out
             n_compact_dropped = jnp.maximum(n_valid - self._ns_out, 0)
-            flat = h_c.reshape(-1)
-            lo_c = jnp.searchsorted(keys, flat, side="left").reshape(
-                h_c.shape
-            )
-            hi = jnp.searchsorted(keys, flat, side="right").reshape(
-                h_c.shape
-            )
-            count = (hi - lo_c).astype(jnp.int32)
+            bk = dquery.BucketedKeys(*bt, _bk_steps, _bk_bits)
+            lo_c, count = dquery.lookup_bounds(bk, h_c)
             over = count > max_occ
             n_occ_dropped = jnp.sum(
                 jnp.where(v_c & over, count, 0), axis=1
@@ -256,11 +262,11 @@ class MappingEngine:
             )
             return ev, lo_c, qc_c, qp_c, cnt_c, scalars, hist
 
-        def _stage1(keys, packed_in, hist, hist_off):
+        def _stage1(bt, packed_in, hist, hist_off):
             chunks = packed_in[:, :-1]
             lengths = packed_in[:, -1].astype(jnp.int32)
             ev, lo_c, qc_c, _qp, _cnt, scalars, hist = _stage1_core(
-                keys, chunks, lengths, hist, hist_off
+                bt, chunks, lengths, hist, hist_off
             )
             out = stage1_codec.pack_stage1(
                 ev.values, lo_c, qc_c, scalars,
@@ -269,9 +275,10 @@ class MappingEngine:
             return out, hist
 
         self._stage1_core = _stage1_core
+        self._bt = (self._bk.ku, self._bk.kidx, self._bk.kcnt, self._bk.boff)
         _stage1_jit = jax.jit(_stage1, donate_argnums=(2,))
         self._stage1 = lambda packed_in, hist, hist_off: _stage1_jit(
-            self._keys, packed_in, hist, hist_off
+            self._bt, packed_in, hist, hist_off
         )
         # per-pipeline-group device event-history buffers (B, hmax)
         self._group_hist: dict[int, jax.Array] = {}
@@ -423,7 +430,7 @@ class MappingEngine:
         SENT_j = jnp.int32(SENT)
         IMAX = jnp.int32(0x7FFFFFFF)
 
-        def _fused_stage(keys, val_id, val_ps, packed_in, carried, hist,
+        def _fused_stage(bt, val_id, val_ps, packed_in, carried, hist,
                          hist_off):
             A = self._fused_w
             A_exp = self._fused_exp
@@ -431,7 +438,7 @@ class MappingEngine:
             chunks = packed_in[:, :L]
             lengths = packed_in[:, L].astype(jnp.int32)
             ev, lo_c, qc_c, qp_c, cnt_c, scalars, hist = _stage1_core(
-                keys, chunks, lengths, hist, hist_off
+                bt, chunks, lengths, hist, hist_off
             )
             B_, NS = cnt_c.shape
             C = (carried.shape[1] - 2) // 3
@@ -538,7 +545,7 @@ class MappingEngine:
         _fused_jit = jax.jit(_fused_stage, donate_argnums=(5,))
         self._stage1_fused = (
             lambda packed_in, carried, hist, hist_off: _fused_jit(
-                self._keys, self._val_id, self._val_ps, packed_in, carried,
+                self._bt, self._val_id, self._val_ps, packed_in, carried,
                 hist, hist_off,
             )
         )
@@ -771,99 +778,51 @@ class MappingEngine:
                 st.events = np.concatenate([st.events, ev_values[i, :n_ev]])
 
         # host: expand hit lists (tiny), merge carried anchors, sort, pad
+        # — one batched pass for the whole round (map/anchors.py; the
+        # occ-ranked over-budget drop is documented there)
         A = self.max_anchors
         seg_b = np.full((B, A), SENT, dtype=np.int32)
         tgt_b = np.zeros((B, A), dtype=np.int32)
         qry_b = np.zeros((B, A), dtype=np.int32)
         n_anch = np.zeros(B, dtype=np.int32)
-        max_used = 0
-        # largest PRE-drop anchor count: fused DP results are only valid
-        # if the device saw every anchor the host replayed, i.e. no
-        # row's true count exceeded the fused width (the occ-ranked drop
-        # below caps n_anch, so max_used alone cannot tell)
-        max_true = 0
+        read_offsets = np.zeros(B, dtype=np.int64)
         for i, st in enumerate(slots):
-            if not chain_this_round[i]:
-                continue
-            counts = h_count[i]
-            sel = np.nonzero(counts)[0]
-            if sel.size:
-                reps = counts[sel]
-                starts = h_lo[i][sel]
-                # flat hit indices: starts[k] .. starts[k]+reps[k]
-                total = int(reps.sum())
-                base = np.repeat(starts, reps)
-                offs = np.arange(total) - np.repeat(
-                    np.cumsum(reps) - reps, reps
-                )
-                hidx = base + offs
-                tid = self._h_val_id[hidx].astype(np.int64)
-                ps = self._h_val_ps[hidx]
-                tpos = ((ps >> np.uint32(1)) & np.uint32(0x7FFFFFFF)).astype(
-                    np.int64
-                )
-                strd = (ps & np.uint32(1)).astype(np.int64)
-                seg = tid * 2 + strd
-                qpos = np.repeat(h_qpos[i][sel], reps).astype(np.int64) + st.offset
-                occ = np.repeat(reps, reps).astype(np.int64)
-            else:
-                seg = np.zeros(0, np.int64)
-                tpos = np.zeros(0, np.int64)
-                qpos = np.zeros(0, np.int64)
-                occ = np.zeros(0, np.int64)
-            if i in carried_lists:
-                cs, ct, cq = carried_lists[i]
-                seg = np.concatenate([seg, cs])
-                tpos = np.concatenate([tpos, ct])
-                qpos = np.concatenate([qpos, cq])
-                # carried anchors (surviving chains) are always kept
-                # under budget pressure: occ rank 0
-                occ = np.concatenate([occ, np.zeros(cs.size, np.int64)])
-            order = np.lexsort((qpos, tpos, seg))
-            max_true = max(max_true, order.size)
-            if order.size > A:
-                # over-budget rounds drop the anchors of the HIGHEST-
-                # occurrence seeds first (an adaptive occurrence cap, in
-                # the spirit of the reference's shelved mid_occ filter,
-                # rmap.cpp:28-51): repetitive seeds carry the least
-                # mapping information, and dropping whole seeds
-                # preserves the chain structure of informative ones —
-                # measured far more accurate under flood than uniform
-                # thinning (tools/ref_parity.py --flood). Ties keep the
-                # earlier anchors in sorted order (deterministic).
-                # Rounds under budget (the normal case) remain exactly
-                # reference-parity.
-                self.counters["anchors_dropped"] += order.size - A
-                keep_rank = np.argsort(occ[order], kind="stable")[:A]
-                keep_rank.sort()
-                order = order[keep_rank]
-            m = order.size
-            seg_b[i, :m] = seg[order]
-            tgt_b[i, :m] = tpos[order]
-            qry_b[i, :m] = qpos[order]
-            n_anch[i] = m
-            max_used = max(max_used, m)
-            if opt.flag & MappingFlag.LOG_ANCHORS:
-                by_key: dict[tuple[int, int], list[tuple[int, int]]] = {}
-                for k in range(m):
-                    s = int(seg_b[i, k])
-                    by_key.setdefault((s & 1, s >> 1), []).append(
-                        (int(tgt_b[i, k]), int(qry_b[i, k]))
+            if st is not None:
+                read_offsets[i] = st.offset
+        max_used, max_true, dropped = manchors.expand_round(
+            h_lo, h_qpos, h_count,
+            chain_this_round, read_offsets, carried_lists,
+            self._h_val_id, self._h_val_ps, A,
+            seg_b, tgt_b, qry_b, n_anch,
+        )
+        self.counters["anchors_dropped"] += dropped
+        if opt.flag & (MappingFlag.LOG_ANCHORS | MappingFlag.LOG_NUM_ANCHORS):
+            for i, st in enumerate(slots):
+                if not chain_this_round[i]:
+                    continue
+                m = int(n_anch[i])
+                if opt.flag & MappingFlag.LOG_ANCHORS:
+                    by_key: dict[tuple[int, int], list[tuple[int, int]]] = {}
+                    for k in range(m):
+                        s = int(seg_b[i, k])
+                        by_key.setdefault((s & 1, s >> 1), []).append(
+                            (int(tgt_b[i, k]), int(qry_b[i, k]))
+                        )
+                    gchain.log_anchors(
+                        by_key, st.name, self.index.seq_names,
+                        self.index.n_seq,
                     )
-                gchain.log_anchors(
-                    by_key, st.name, self.index.seq_names, self.index.n_seq
-                )
-            if opt.flag & MappingFlag.LOG_NUM_ANCHORS:
-                # total seed hits incl. those dropped by the occ cap
-                # (the reference counts before appending, rmap.cpp:381)
-                gchain.log_num_anchors(
-                    st.name,
-                    st.offset,
-                    int(ev_counts[i]),
-                    int(h_count[i].sum())
-                    + int(hit_dropped[i])
-                    + int(compact_dropped[i]),
-                )
+                if opt.flag & MappingFlag.LOG_NUM_ANCHORS:
+                    # total seed hits incl. those dropped by the occ cap
+                    # (the reference counts before appending, rmap.cpp:381)
+                    gchain.log_num_anchors(
+                        st.name,
+                        st.offset,
+                        int(ev_counts[i]),
+                        int(h_count[i].sum())
+                        + int(hit_dropped[i])
+                        + int(compact_dropped[i]),
+                    )
         mark("host_anchors")
 
         if not chain_this_round.any():
