@@ -56,7 +56,11 @@ def bench_mapping(ds, idx, mo):
 
     reads = [(r.name, r.signal) for r in ds.reads]
     ds_reads = ds.reads
-    engine = MappingEngine(idx, mo, batch_size=64, pipeline_depth=4)
+    # geometry from the interleaved A/B sweep on this chip (PROGRESS.md
+    # round 3): small batches with deep round-robin overlap the
+    # ~30 ms/transfer tunnel best (32x8 ~700 reads/s vs 64x4 ~650,
+    # 128x2 ~505)
+    engine = MappingEngine(idx, mo, batch_size=32, pipeline_depth=8)
     # warmup pass over the FULL read set: compiles every bucket shape
     # the measured pass will hit (a partial warmup leaves multi-second
     # remote compiles inside the measurement)

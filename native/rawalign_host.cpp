@@ -407,6 +407,117 @@ void ra_dtw_banded_batch(const float* a_pool, const int64_t* a_off,
 // per-round anchor data is tiny (a few MB of cell updates), so running
 // the DP host-side removes a device round trip; results are identical
 // to the device path by construction.
+// Full event detector for one chunk (reference: revent.c:190-210):
+// float32 sequential prefix sums (revent.c:22-32), two-window t-stats
+// (revent.c:34-75; float ops with the double abs/sqrt step, multiplies
+// kept in separate statements so -ffp-contract cannot change the
+// rounding), dual-detector peak finding (ra_gen_peaks) and normalized
+// event means (ra_gen_events) — output bit-identical to the Python
+// golden chain prefix_sums+tstat+gen_peaks+gen_events
+// (rawalign_tpu/golden/events.py; pinned in tests/test_native.py).
+// out_events must hold s_len + 2 entries. Scratch is allocated per call.
+int64_t ra_gen_peaks(const float* t1, const float* t2, int64_t n,
+                     float threshold1, float threshold2, int w1, int w2,
+                     float peak_height, uint32_t* out_peaks);
+int64_t ra_gen_events(const uint32_t* peaks, int64_t n_peaks, const float* ps,
+                      int64_t s_len, float* out_events);
+
+static void tstat_fill(const float* ps, const float* pss, int64_t s_len,
+                       int w, float* t) {
+  for (int64_t i = 0; i <= s_len; ++i) t[i] = 0.0f;
+  if (s_len < 2 * (int64_t)w || w < 2) return;
+  const float w32 = (float)w;
+  for (int64_t i = w; i <= s_len - w; ++i) {
+    float sum1 = ps[i];
+    float sumsq1 = pss[i];
+    if (i > w) {
+      sum1 -= ps[i - w];
+      sumsq1 -= pss[i - w];
+    }
+    const float sum2 = ps[i + w] - ps[i];
+    const float sumsq2 = pss[i + w] - pss[i];
+    const float mean1 = sum1 / w32;
+    const float mean2 = sum2 / w32;
+    const float m1s = mean1 * mean1;
+    const float m2s = mean2 * mean2;
+    const float cv0 = sumsq1 / w32 - m1s + sumsq2 / w32 - m2s;
+    const float cv = cv0 > 1.17549435e-38F ? cv0 : 1.17549435e-38F;
+    const float dm = mean2 - mean1;
+    const float q = cv / w32;
+    t[i] = (float)(std::fabs((double)dm) / std::sqrt((double)q));
+  }
+  for (int64_t i = s_len - w + 1; i <= s_len; ++i) t[i] = 0.0f;
+}
+
+int64_t ra_detect_events(const float* sig, int64_t s_len, int w1, int w2,
+                         float threshold1, float threshold2,
+                         float peak_height, float* out_events) {
+  if (s_len == 0) return 0;
+  float* ps = new float[4 * (s_len + 1)];
+  float* pss = ps + (s_len + 1);
+  float* t1 = pss + (s_len + 1);
+  float* t2 = t1 + (s_len + 1);
+  uint32_t* peaks = new uint32_t[s_len];
+  ps[0] = 0.0f;
+  pss[0] = 0.0f;
+  float a = 0.0f, b = 0.0f;
+  for (int64_t i = 0; i < s_len; ++i) {
+    a += sig[i];
+    const float sq = sig[i] * sig[i];
+    b += sq;
+    ps[i + 1] = a;
+    pss[i + 1] = b;
+  }
+  tstat_fill(ps, pss, s_len, w1, t1);
+  tstat_fill(ps, pss, s_len, w2, t2);
+  const int64_t n_peaks = ra_gen_peaks(t1, t2, s_len, threshold1, threshold2,
+                                       w1, w2, peak_height, peaks);
+  int64_t n_ev = 0;
+  if (n_peaks > 0)
+    n_ev = ra_gen_events(peaks, n_peaks, ps, s_len, out_events);
+  delete[] peaks;
+  delete[] ps;
+  return n_ev;
+}
+
+// Event means between consecutive peaks + final segment, z-normalized
+// over the chunk (reference: revent.c:140-188), bit-identical to the
+// Python golden model (rawalign_tpu/golden/events.py::gen_events):
+// float32 mean divisions, SEQUENTIAL double accumulation with the
+// squares rounded in float first, double z-normalization stored to
+// float. Returns the event count written to out_events (caller
+// allocates >= n_peaks + 1). mean*mean is computed in a separate
+// statement so -ffp-contract cannot fuse it into the subtraction.
+int64_t ra_gen_events(const uint32_t* peaks, int64_t n_peaks, const float* ps,
+                      int64_t s_len, float* out_events) {
+  if (n_peaks == 0) return 0;
+  int64_t n_ev = 1;
+  for (int64_t i = 1; i < n_peaks; ++i)
+    if (peaks[i] > 0 && (int64_t)peaks[i] < s_len) ++n_ev;
+  float l_prefixsum = 0.0f;
+  float l_peak = 0.0f;
+  for (int64_t pi = 0; pi < n_ev - 1; ++pi) {
+    const int64_t p = (int64_t)peaks[pi];
+    out_events[pi] = (ps[p] - l_prefixsum) / ((float)p - l_peak);
+    l_prefixsum = ps[p];
+    l_peak = (float)p;
+  }
+  out_events[n_ev - 1] =
+      (ps[s_len] - l_prefixsum) / ((float)s_len - l_peak);
+  double s = 0.0, s2 = 0.0;
+  for (int64_t i = 0; i < n_ev; ++i) {
+    s += (double)out_events[i];
+    const float sq = out_events[i] * out_events[i];
+    s2 += (double)sq;
+  }
+  const double mean = s / (double)n_ev;
+  const double mm = mean * mean;
+  const double std = std::sqrt(s2 / (double)n_ev - mm);
+  for (int64_t i = 0; i < n_ev; ++i)
+    out_events[i] = (float)(((double)out_events[i] - mean) / std);
+  return n_ev;
+}
+
 // End-candidate selection + chain traceback from DP results (reference
 // semantics: rmap.cpp:486-505 candidate filter + rmap.cpp:130-173
 // traceback with used-anchor marking), replicating the Python

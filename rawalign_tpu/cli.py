@@ -95,6 +95,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read groups advancing round-robin (overlaps host and device work)")
     p.add_argument("--engine", choices=["device", "golden"], default="device",
                    help="'golden' runs the NumPy reference-replica engine")
+    p.add_argument("--chain-impl", choices=["auto", "native", "device"],
+                   default="auto",
+                   help="chaining DP placement: host C (native) or the "
+                   "device kernel; auto prefers native when the host "
+                   "library is built")
+    p.add_argument("--stage1-impl", choices=["device", "host"],
+                   default="device",
+                   help="events+sketch+lookup placement: 'device' (one "
+                   "jitted dispatch, the TPU-first default) or 'host' "
+                   "(C event detector + C sketch + binary-search "
+                   "lookup; one device round trip per round — for "
+                   "link-latency-bound deployments)")
     # observability / fault tolerance (SURVEY §5: the reference has none;
     # these are framework additions)
     p.add_argument("--resume", action="store_true",
@@ -325,6 +337,8 @@ def main(argv=None) -> int:
             max_anchors=args.max_anchors,
             seeds_out=args.seeds_out,
             pipeline_depth=args.pipeline_depth,
+            chain_impl=args.chain_impl,
+            stage1_impl=args.stage1_impl,
         )
         results = engine.map_reads(reads())
     for res in results:

@@ -155,6 +155,27 @@ def gen_events(
     return ((events.astype(np.float64) - mean) / std).astype(np.float32)
 
 
+def detect_events_fast(sig: np.ndarray, opt) -> np.ndarray:
+    """``detect_events`` with the two sequential loops (peak finding,
+    event means) in the native C library — output-identical (the C
+    functions replicate the float semantics; tests/test_native.py).
+    Falls back to the pure-Python driver without the library. This is
+    the engine's host-stage1 event detector (map/engine.py
+    stage1_impl="host")."""
+    from rawalign_tpu import native
+
+    if not native.events_available():
+        return detect_events(sig, opt)
+    return native.detect_events(
+        sig,
+        w1=opt.window_length1,
+        w2=opt.window_length2,
+        threshold1=opt.threshold1,
+        threshold2=opt.threshold2,
+        peak_height=opt.peak_height,
+    )
+
+
 def detect_events(sig: np.ndarray, opt) -> np.ndarray:
     """Driver (revent.c:190-210). opt needs window_length1/2, threshold1/2,
     peak_height. Returns float32 normalized event means (possibly empty)."""

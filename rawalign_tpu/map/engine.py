@@ -6,10 +6,12 @@ steps:
 
   round loop (host):                        device (jitted):
     gather next 1s-chunk of every live read   stage 1: events + seeds +
-    <- fetch events + per-seed hit bounds              index lookup bounds
-    expand hits, merge carried anchors,       stage 2: chaining DP
-    lexsort, pad (host: hit lists are tiny)   stage 3: batched banded DTW
-    traceback + candidates (host, cheap)
+    <- fetch events + per-seed hit bounds              bucketed index lookup
+    expand hits, merge carried anchors,       stage 2: batched banded DTW
+    lexsort, pad (batched, map/anchors.py)             (indexed tile panels)
+    chaining DP (host C, bit-identical to
+      the device kernel — map/chain.py)
+    traceback + candidates (host C)
     B&B replay, primary chains, MAPQ,
     early-stop decisions; retire finished
     reads and refill slots from the queue
@@ -21,9 +23,12 @@ the reference's per-read early exit (rmap.cpp:685-693).
 Division of labor (measured on this environment's tunneled TPU): device
 sorts run ~10M elem/s and element gathers ~90M elem/s, so hit-list
 expansion and the anchor lexsort live on the host where the REAL data is
-tiny (hundreds of anchors/read); the device does the fixed-shape batched
-compute (event scan, sketch scan, searchsorted, chaining DP, DTW). Three
-host<->device syncs per chunk round, independent of batch size.
+tiny (hundreds of anchors/read), and the window-bounded chaining DP (a
+few MB of cell updates per round) runs in the native host library when
+built — TWO host<->device syncs per chunk round (stage1, DTW),
+independent of batch size. With chain_impl="device" the DP runs as its
+own sharded device dispatch (three syncs; the distributed engine's
+mode).
 """
 
 from __future__ import annotations
@@ -103,6 +108,7 @@ class MappingEngine:
         dtw_device_max_b: int = 2048,
         fused: bool = False,
         chain_impl: str = "auto",
+        stage1_impl: str = "device",
     ):
         from rawalign_tpu import runtime
 
@@ -118,6 +124,17 @@ class MappingEngine:
         self.max_carried = max_carried
         self.chain_window = chain_window
         self.pipeline_depth = pipeline_depth
+        if stage1_impl not in ("device", "host"):
+            raise ValueError(f"stage1_impl must be device|host: {stage1_impl}")
+        self._stage1_host = stage1_impl == "host"
+        if self._stage1_host:
+            from rawalign_tpu import native as _nat
+
+            if not (_nat.available() and _nat.events_available()):
+                raise RuntimeError(
+                    "stage1_impl='host' requires the native host library "
+                    "(make -C native)"
+                )
         # tiles with a side beyond these run on the host C fallback; the
         # Pallas wavefront kernel is validated bit-exact through 2048
         # (dtw.cpp:273-520 is size-unbounded; so is the kernel — the cap
@@ -167,7 +184,9 @@ class MappingEngine:
         # per-slot device history buffer and never cross the link — the
         # tunneled device runtime moves ~45 MB/s, so the per-round event
         # download + DTW event-pool upload (~16 KB/read) dominated.
-        self._events_on_host = bool(opt.flag & MappingFlag.DTW_OUTPUT_CIGAR)
+        self._events_on_host = bool(
+            opt.flag & MappingFlag.DTW_OUTPUT_CIGAR
+        ) or self._stage1_host
         # seed slots kept after device-side compaction (seeds with hits
         # are sorted first, original order preserved); rounds carry a
         # dropped-hits counter for the (rare) overflow
@@ -313,6 +332,20 @@ class MappingEngine:
                     "(make -C native)"
                 )
         self._chain_native = chain_impl == "native"
+        # stage1 placement. "device" (default): events + sketch + lookup
+        # run as one jitted dispatch — the TPU-first path, right when
+        # the host:device compute ratio favors the chip. "host": the
+        # same stage runs on the host (golden float64 event detector —
+        # the C-double reference semantics, revent.c:22-75 — + native C
+        # sketch + numpy searchsorted), leaving the round's ONLY device
+        # round trip the DTW tile evaluation; right on link-latency-
+        # bound deployments (this dev environment tunnels the chip at
+        # ~30 ms/transfer) or event-rate-bound hosts. Downstream
+        # (expansion, chain DP, traceback, DTW, decisions) is shared, so
+        # both modes produce the same PAF wherever their event
+        # detectors agree (f32 scan vs C-double: ulp flips on ~1 read
+        # in 10 move an event boundary; tests pin host == golden
+        # exactly and device == golden on the standard workloads).
         # chain traceback + Chain assembly: C fast path when available
         # (identical output; tests/test_native.py pins equality)
         from rawalign_tpu import native as _native
@@ -704,6 +737,35 @@ class MappingEngine:
                 max_car = max(max_car, len(prev_seg))
         mark("build_inputs")
 
+        if self._stage1_host:
+            # host stage1: the golden-semantics (C-double) event
+            # detector + C sketch + numpy searchsorted — no device round
+            # trip; the round's only sync is the DTW. Events live on the
+            # host (self._events_on_host forced at construction).
+            (
+                h_lo, h_qpos, h_count, ev_counts, ev_dropped, hit_dropped,
+            ) = self._stage1_host_round(slots)
+            compact_dropped = np.zeros(B, dtype=np.int64)
+            ev_values = None
+            fused_scores = fused_preds = None
+            use_fused = False
+            dp_full = None
+            mark("stage_chain")
+            self.counters["events_dropped"] += int(ev_dropped.sum())
+            self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
+            chain_this_round = ev_counts >= opt.min_events
+            for i, st in enumerate(slots):
+                if st is None:
+                    chain_this_round[i] = False
+                    continue
+                st.ev_total += int(ev_counts[i])
+            return (yield from self._round_tail(
+                slots, g, B, L, SENT, carried_lists, chain_this_round,
+                h_lo, h_qpos, h_count, ev_counts, hit_dropped,
+                compact_dropped, use_fused, fused_scores, fused_preds,
+                dp_full, mark, charge_round,
+            ))
+
         hist = self._group_hist.get(g)
         if hist is None:
             hist = jnp.zeros((B, self._hmax), jnp.float32)
@@ -776,6 +838,24 @@ class MappingEngine:
             st.ev_total += n_ev
             if n_ev and self._events_on_host:
                 st.events = np.concatenate([st.events, ev_values[i, :n_ev]])
+
+        return (yield from self._round_tail(
+            slots, g, B, L, SENT, carried_lists, chain_this_round,
+            h_lo, h_qpos, h_count, ev_counts, hit_dropped,
+            compact_dropped, use_fused, fused_scores, fused_preds,
+            dp_full, mark, charge_round,
+        ))
+
+    # ------------------------------------------------------------------
+    def _round_tail(
+        self, slots, g, B, L, SENT, carried_lists, chain_this_round,
+        h_lo, h_qpos, h_count, ev_counts, hit_dropped, compact_dropped,
+        use_fused, fused_scores, fused_preds, dp_full, mark, charge_round,
+    ):
+        """Anchor expansion -> chaining -> traceback -> DTW -> decisions:
+        the stage1-independent remainder of one round, shared by the
+        device and host stage1 paths."""
+        opt = self.opt
 
         # host: expand hit lists (tiny), merge carried anchors, sort, pad
         # — one batched pass for the whole round (map/anchors.py; the
@@ -1012,6 +1092,62 @@ class MappingEngine:
                 st.done = True
         mark("finalize")
         charge_round()
+
+    # ------------------------------------------------------------------
+    def _stage1_host_round(self, slots):
+        """Host stage1 for one round: event detection (native C,
+        bit-identical to the golden C-double semantics — revent.c), C
+        sketching (rsketch.c) and a numpy binary-search lookup over the
+        sorted key table. Returns the same (lo, qpos, count, ...) bounds
+        the device stage1 downloads; events append to each read's host
+        array (the DTW blob uploads the round's event pool)."""
+        opt = self.opt
+        io = self.index.opt
+        from rawalign_tpu import native
+        from rawalign_tpu.golden import events as gevents
+
+        B = self.batch_size
+        ne = opt.max_events_per_chunk
+        L = opt.chunk_size
+        keys = self.index.keys
+        h_lo = np.zeros((B, ne), np.int32)
+        h_qpos = np.zeros((B, ne), np.int32)
+        h_count = np.zeros((B, ne), np.int32)
+        ev_counts = np.zeros(B, np.int64)
+        ev_dropped = np.zeros(B, np.int64)
+        hit_dropped = np.zeros(B, np.int64)
+        for i, st in enumerate(slots):
+            if st is None:
+                continue
+            part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
+            if part.size == 0:
+                continue
+            evs = gevents.detect_events_fast(part, opt)
+            if evs.size > ne:
+                ev_dropped[i] = evs.size - ne
+                evs = evs[:ne]
+            ev_counts[i] = evs.size
+            if evs.size:
+                st.events = np.concatenate([st.events, evs])
+            if evs.size < io.e:
+                continue
+            if io.w:
+                h, p = native.sketch_min(evs, io.w, io.e, io.q, io.lq)
+            else:
+                h, p = native.sketch_reg(evs, io.e, io.q, io.lq)
+            if h.size == 0:
+                continue
+            lo = np.searchsorted(keys, h, side="left")
+            hi = np.searchsorted(keys, h, side="right")
+            cnt = (hi - lo).astype(np.int64)
+            over = cnt > self.max_occ
+            hit_dropped[i] = int(cnt[over].sum())
+            cnt[over] = 0
+            m = h.size
+            h_lo[i, :m] = lo
+            h_qpos[i, :m] = p
+            h_count[i, :m] = cnt
+        return h_lo, h_qpos, h_count, ev_counts, ev_dropped, hit_dropped
 
     # ------------------------------------------------------------------
     def _dtw_submit(

@@ -81,6 +81,16 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, f32, i32arr,
         ]
+    if hasattr(lib, "ra_gen_events"):
+        lib.ra_gen_events.restype = ctypes.c_int64
+        lib.ra_gen_events.argtypes = [u32, ctypes.c_int64, f32,
+                                      ctypes.c_int64, f32]
+    if hasattr(lib, "ra_detect_events"):
+        lib.ra_detect_events.restype = ctypes.c_int64
+        lib.ra_detect_events.argtypes = [
+            f32, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, f32,
+        ]
     if hasattr(lib, "ra_chains_from_dp"):
         f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.ra_chains_from_dp.restype = ctypes.c_int64
@@ -172,6 +182,37 @@ def dtw_global_tb(a: np.ndarray, b: np.ndarray):
         a, a.size, b, b.size, out_ij, out_diff, ctypes.byref(cost)
     )
     return out_ij[:ln], out_diff[:ln], float(cost.value)
+
+
+def gen_events(peaks: np.ndarray, ps: np.ndarray, s_len: int) -> np.ndarray:
+    """Events from peaks + prefix sums (revent.c:140-188), bit-identical
+    to golden gen_events."""
+    lib = load()
+    peaks = np.ascontiguousarray(peaks, dtype=np.uint32)
+    ps = np.ascontiguousarray(ps, dtype=np.float32)
+    out = np.empty(peaks.size + 1, dtype=np.float32)
+    n = lib.ra_gen_events(peaks, peaks.size, ps, s_len, out)
+    return out[:n].copy()
+
+
+def events_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_detect_events")
+
+
+def detect_events(
+    sig: np.ndarray, *, w1: int, w2: int, threshold1: float,
+    threshold2: float, peak_height: float,
+) -> np.ndarray:
+    """Whole event detector for one chunk in C (revent.c:190-210),
+    bit-identical to golden prefix_sums+tstat+gen_peaks+gen_events."""
+    lib = load()
+    sig = np.ascontiguousarray(sig, dtype=np.float32)
+    out = np.empty(sig.size + 2, dtype=np.float32)
+    n = lib.ra_detect_events(
+        sig, sig.size, w1, w2, threshold1, threshold2, peak_height, out
+    )
+    return out[:n].copy()
 
 
 def chain_dp_available() -> bool:

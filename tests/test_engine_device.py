@@ -115,3 +115,89 @@ def test_engine_accuracy_with_default_window(setup):
         n_correct += bool(ok)
     assert n_mapped >= 7
     assert n_correct >= n_mapped - 1
+
+
+@pytest.mark.parametrize("use_dtw", [False, True])
+def test_engine_host_stage1_matches_golden_exact_columns(setup, use_dtw):
+    """stage1_impl='host' runs the golden-semantics (C-double) event
+    detector, so the device test's sanctioned event-count drift
+    disappears: with a full chaining window EVERY PAF column (including
+    the event-count-derived read coordinates, cols 1-4) must equal the
+    golden engine's on every read. The only tolerated difference is a
+    small drift in the anchor-shape tags (at/aq): the batched engine's
+    global anchor lexsort can tie-break equal-scoring predecessors
+    differently from the golden per-list iteration, swapping one anchor
+    of an equally-scoring chain."""
+    from rawalign_tpu import native
+
+    if not (native.available() and native.events_available()):
+        pytest.skip("native host library unavailable")
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    if use_dtw:
+        mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    engine = MappingEngine(
+        idx, mo, batch_size=4, chain_window=2048, max_occ=256,
+        max_anchors=2048, stage1_impl="host",
+    )
+    got = {}
+    for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
+        got[res.read_name] = _strip_time(paf.paf_line(res))
+    n_same = 0
+    for r in ds.reads:
+        want = _strip_time(
+            paf.paf_line(gengine.map_read(idx, r.signal, r.name, mo))
+        )
+        if got[r.name] == want:
+            n_same += 1
+            continue
+        g = got[r.name].split("\t")
+        w = want.split("\t")
+        assert g[:12] == w[:12], (r.name, want, got[r.name])
+        gt = dict(t.split(":", 1) for t in g[12:])
+        wt = dict(t.split(":", 1) for t in w[12:])
+        assert gt.keys() == wt.keys(), (r.name, want, got[r.name])
+        for k in gt:
+            if k == "mt":
+                continue
+            ty, gv = gt[k].split(":", 1)
+            _, wv = wt[k].split(":", 1)
+            if ty in ("f", "i"):
+                gvf, wvf = float(gv), float(wv)
+                tol = 0.01 * max(abs(gvf), abs(wvf), 1.0)
+                assert abs(gvf - wvf) <= tol, (r.name, k, gv, wv)
+            else:
+                assert gv == wv, (r.name, k, gv, wv)
+    assert n_same >= int(0.8 * len(ds.reads))
+
+
+def test_engine_host_stage1_multichunk(setup):
+    """Host stage1 with default window across multiple chunks (carried
+    anchors + early stop) stays outcome-correct."""
+    from rawalign_tpu import native
+
+    if not (native.available() and native.events_available()):
+        pytest.skip("native host library unavailable")
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    engine = MappingEngine(idx, mo, batch_size=4, stage1_impl="host")
+    n_mapped = n_correct = 0
+    by_name = {r.name: r for r in ds.reads}
+    for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
+        if not res.mapped:
+            continue
+        n_mapped += 1
+        r = by_name[res.read_name]
+        if (
+            res.ref_name == ds.seqs[r.ref_id].name
+            and res.rev == r.strand
+        ):
+            lo = res.fragment_start_position
+            hi = lo + res.fragment_length
+            if not (hi < r.ref_start or lo > r.ref_end):
+                n_correct += 1
+    assert n_mapped >= 7
+    assert n_correct >= n_mapped - 1

@@ -119,6 +119,12 @@ def evaluate(paf_path, truth, tolerance=100):
         "mean_chunks_unmapped": (
             statistics.fmean(chunks_unmapped) if chunks_unmapped else 0.0
         ),
+        # the batched engine's mt:f is the read's AMORTIZED share of the
+        # rounds it was live in (engine.py charge_round), not the
+        # reference's exclusive per-read wall time (rmap.cpp:684-694):
+        # comparable in aggregate (sum over reads ~= mapping wall), but
+        # per-read distributions are narrower than the reference's
+        "mt_semantics": "amortized round share (see tests/test_mt_semantics.py)",
     }
 
 
