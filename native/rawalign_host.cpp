@@ -13,10 +13,12 @@
 // repo's Python golden model (rawalign_tpu/golden/), which is itself
 // oracle-tested; they are exposed via ctypes (see rawalign_tpu/native.py).
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <limits>
+#include <vector>
 
 namespace {
 
@@ -665,6 +667,102 @@ void ra_chain_dp(const int32_t* seg, const int32_t* tgt, const int32_t* qry,
       p[i] = (int32_t)i;
     }
   }
+}
+
+// Anchor expansion for one engine round (map/anchors.py expand_round's
+// C twin, bit-identical ordering contract): per live row, expand each
+// seed's (lo, count) hit range against the index value tables
+// (rmap.cpp:371-391's gather), append carried anchors (rmap.cpp:343-362
+// re-injection, occ rank 0), stable-sort by (seg, tpos, qpos), and
+// apply the occ-ranked budget drop for rows over A. Outputs land in the
+// engine's pre-sentinel-filled (B, A) blocks. out_stats = {max_used,
+// max_true, dropped}.
+void ra_expand_round(
+    const int32_t* h_lo, const int32_t* h_qpos, const int32_t* h_count,
+    const uint8_t* live, const int64_t* offsets, const int64_t* car_seg,
+    const int64_t* car_tpos, const int64_t* car_qpos, const int32_t* car_cnt,
+    const uint32_t* val_id, const uint32_t* val_ps, int64_t B, int64_t NS,
+    int64_t A, int32_t* seg_b, int32_t* tgt_b, int32_t* qry_b,
+    int32_t* n_anch, int64_t* out_stats) {
+  struct Anchor {
+    int64_t seg, tpos, qpos, occ;
+    int32_t idx;  // input position — the stable tie-break
+  };
+  int64_t max_used = 0, max_true = 0, dropped = 0;
+  std::vector<Anchor> row_v;
+  std::vector<int32_t> sel;
+  int64_t car_base = 0;
+  for (int64_t b = 0; b < B; ++b) {
+    const int64_t car_n = car_cnt ? (int64_t)car_cnt[b] : 0;
+    const int64_t car_off = car_base;
+    car_base += car_n;
+    n_anch[b] = 0;
+    if (!live[b]) continue;
+    row_v.clear();
+    const int32_t* lo = h_lo + b * NS;
+    const int32_t* qp = h_qpos + b * NS;
+    const int32_t* cnt = h_count + b * NS;
+    const int64_t off = offsets[b];
+    for (int64_t s = 0; s < NS; ++s) {
+      const int64_t c = cnt[s];
+      for (int64_t j = 0; j < c; ++j) {
+        const int64_t hidx = (int64_t)lo[s] + j;
+        const uint32_t ps = val_ps[hidx];
+        Anchor a;
+        a.seg = (int64_t)val_id[hidx] * 2 + (int64_t)(ps & 1u);
+        a.tpos = (int64_t)((ps >> 1) & 0x7FFFFFFFu);
+        a.qpos = (int64_t)qp[s] + off;
+        a.occ = c;
+        a.idx = (int32_t)row_v.size();
+        row_v.push_back(a);
+      }
+    }
+    for (int64_t j = 0; j < car_n; ++j) {
+      Anchor a;
+      a.seg = car_seg[car_off + j];
+      a.tpos = car_tpos[car_off + j];
+      a.qpos = car_qpos[car_off + j];
+      a.occ = 0;  // carried anchors always survive the budget
+      a.idx = (int32_t)row_v.size();
+      row_v.push_back(a);
+    }
+    int64_t m = (int64_t)row_v.size();
+    if (!m) continue;
+    std::sort(row_v.begin(), row_v.end(), [](const Anchor& x, const Anchor& y) {
+      if (x.seg != y.seg) return x.seg < y.seg;
+      if (x.tpos != y.tpos) return x.tpos < y.tpos;
+      if (x.qpos != y.qpos) return x.qpos < y.qpos;
+      return x.idx < y.idx;
+    });
+    if (m > max_true) max_true = m;
+    if (m > A) {
+      // keep the A anchors with the smallest parent-seed occurrence,
+      // stable in sorted position (occ-ranked adaptive drop)
+      dropped += m - A;
+      sel.resize(m);
+      for (int64_t i = 0; i < m; ++i) sel[i] = (int32_t)i;
+      std::stable_sort(sel.begin(), sel.end(), [&](int32_t x, int32_t y) {
+        return row_v[x].occ < row_v[y].occ;
+      });
+      sel.resize(A);
+      std::sort(sel.begin(), sel.end());
+      for (int64_t i = 0; i < A; ++i) row_v[i] = row_v[sel[i]];
+      m = A;
+    }
+    int32_t* sb = seg_b + b * A;
+    int32_t* tb = tgt_b + b * A;
+    int32_t* qb = qry_b + b * A;
+    for (int64_t i = 0; i < m; ++i) {
+      sb[i] = (int32_t)row_v[i].seg;
+      tb[i] = (int32_t)row_v[i].tpos;
+      qb[i] = (int32_t)row_v[i].qpos;
+    }
+    n_anch[b] = (int32_t)m;
+    if (m > max_used) max_used = m;
+  }
+  out_stats[0] = max_used;
+  out_stats[1] = max_true;
+  out_stats[2] = dropped;
 }
 
 }  // extern "C"

@@ -27,6 +27,27 @@ import numpy as np
 
 
 def expand_round(
+    h_lo, h_qpos, h_count, live, offsets, carried_lists,
+    val_id, val_ps, A, seg_b, tgt_b, qry_b, n_anch,
+) -> tuple[int, int, int]:
+    """Dispatch: native C when built (one pass, no temp churn — the
+    2-vCPU host's lexsort made this the biggest host phase), else the
+    vectorized numpy twin below. tests/test_anchors.py pins the two
+    bit-identical."""
+    from rawalign_tpu import native
+
+    if native.expand_round_available():
+        return native.expand_round(
+            h_lo, h_qpos, h_count, live, offsets, carried_lists,
+            val_id, val_ps, A, seg_b, tgt_b, qry_b, n_anch,
+        )
+    return expand_round_numpy(
+        h_lo, h_qpos, h_count, live, offsets, carried_lists,
+        val_id, val_ps, A, seg_b, tgt_b, qry_b, n_anch,
+    )
+
+
+def expand_round_numpy(
     h_lo: np.ndarray,  # (B, NS) int32 global lo bounds
     h_qpos: np.ndarray,  # (B, NS) int32 seed query positions
     h_count: np.ndarray,  # (B, NS) int32 per-seed hit counts (occ-capped)

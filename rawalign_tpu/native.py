@@ -91,6 +91,13 @@ def load() -> ctypes.CDLL | None:
             f32, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
             ctypes.c_float, ctypes.c_float, ctypes.c_float, f32,
         ]
+    if hasattr(lib, "ra_expand_round"):
+        lib.ra_expand_round.restype = None
+        lib.ra_expand_round.argtypes = [
+            i32arr, i32arr, i32arr, u8arr, i64p, i64p, i64p, i64p, i32arr,
+            u32, u32, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32arr, i32arr, i32arr, i32arr, i64p,
+        ]
     if hasattr(lib, "ra_chains_from_dp"):
         f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         lib.ra_chains_from_dp.restype = ctypes.c_int64
@@ -248,6 +255,50 @@ def chain_dp(
         max_gap, max_target_gap, max_skips, scores, preds,
     )
     return scores, preds
+
+
+def expand_round_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_expand_round")
+
+
+def expand_round(
+    h_lo, h_qpos, h_count, live, offsets, carried_lists,
+    val_id, val_ps, A, seg_b, tgt_b, qry_b, n_anch,
+):
+    """C anchor expansion (map/anchors.py's ordering contract,
+    bit-identical outputs). Returns (max_used, max_true, dropped)."""
+    lib = load()
+    B, NS = h_count.shape
+    car_cnt = np.zeros(B, np.int32)
+    segs: list[np.ndarray] = []
+    ts: list[np.ndarray] = []
+    qs: list[np.ndarray] = []
+    for i in sorted(carried_lists):
+        if not live[i]:
+            continue
+        cs, ct, cq = carried_lists[i]
+        car_cnt[i] = cs.size
+        segs.append(np.asarray(cs, np.int64))
+        ts.append(np.asarray(ct, np.int64))
+        qs.append(np.asarray(cq, np.int64))
+    z = np.zeros(0, np.int64)
+    car_seg = np.ascontiguousarray(np.concatenate(segs)) if segs else z
+    car_tpos = np.ascontiguousarray(np.concatenate(ts)) if ts else z
+    car_qpos = np.ascontiguousarray(np.concatenate(qs)) if qs else z
+    stats = np.zeros(3, np.int64)
+    lib.ra_expand_round(
+        np.ascontiguousarray(h_lo, np.int32),
+        np.ascontiguousarray(h_qpos, np.int32),
+        np.ascontiguousarray(h_count, np.int32),
+        np.ascontiguousarray(live, np.uint8),
+        np.ascontiguousarray(offsets, np.int64),
+        car_seg, car_tpos, car_qpos, car_cnt,
+        np.ascontiguousarray(val_id, np.uint32),
+        np.ascontiguousarray(val_ps, np.uint32),
+        B, NS, A, seg_b, tgt_b, qry_b, n_anch, stats,
+    )
+    return int(stats[0]), int(stats[1]), int(stats[2])
 
 
 def chains_from_dp_available() -> bool:

@@ -65,7 +65,19 @@ def naive_expand(
     return seg_b, tgt_b, qry_b, n_anch, max_used, max_true, dropped
 
 
-def test_expand_round_matches_naive():
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["numpy", "native"])
+def test_expand_round_matches_naive(impl):
+    if impl == "native":
+        from rawalign_tpu import native
+
+        if not native.expand_round_available():
+            pytest.skip("native lib not built")
+        fn = native.expand_round
+    else:
+        fn = manchors.expand_round_numpy
     rng = np.random.default_rng(5)
     for trial in range(8):
         B = int(rng.integers(1, 10))
@@ -97,7 +109,7 @@ def test_expand_round_matches_naive():
         tgt_b = np.zeros((B, A), dtype=np.int32)
         qry_b = np.zeros((B, A), dtype=np.int32)
         n_anch = np.zeros(B, dtype=np.int32)
-        got = manchors.expand_round(
+        got = fn(
             h_lo, h_qpos, h_count, live, offsets, carried_lists,
             val_id, val_ps, A, seg_b, tgt_b, qry_b, n_anch,
         )
