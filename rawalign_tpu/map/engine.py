@@ -264,6 +264,19 @@ class MappingEngine:
             # the defaults — the tunnel moves ~16 MB/s down)
             qc_c = stage1_codec.pack_qc(qp_c, cnt_c)
             lo_c = lo_c.astype(jnp.int32)
+            # hits-first stable permutation of the compacted columns:
+            # zero-count slots (valid seeds without index hits, or
+            # over-occ) emit no anchors, so moving them behind the hit
+            # slots cannot change the expanded anchor order — but it
+            # makes the nonzero counts a contiguous PREFIX, which lets
+            # the host fetch only an adaptive prefix of the lo/qc
+            # blocks (the stage1 download is the round's largest;
+            # see the prefix fetch in _round_gen)
+            perm2 = stage1_codec.hits_first_perm(cnt_c)
+            lo_c = jnp.take_along_axis(lo_c, perm2, axis=1)
+            qc_c = jnp.take_along_axis(qc_c, perm2, axis=1)
+            qp_c = jnp.take_along_axis(qp_c, perm2, axis=1)
+            cnt_c = jnp.take_along_axis(cnt_c, perm2, axis=1)
             # append this chunk's events to the per-slot history (the
             # construction bounds hist_off + ne <= hmax: each of the
             # <= max_num_chunk chunks appends <= ne events)
@@ -299,6 +312,28 @@ class MappingEngine:
         self._stage1 = lambda packed_in, hist, hist_off: _stage1_jit(
             self._bt, packed_in, hist, hist_off
         )
+
+        # Adaptive stage1 prefix download: _stage1_core's hits-first
+        # permutation guarantees nonzero counts occupy a contiguous
+        # column prefix, so the host fetches only the first P columns
+        # of the lo/qc blocks (+ the scalars) and refetches the full
+        # (still-live) output in the rare round where a row overflows
+        # P (count[:, P-1] > 0). Cuts the round's largest download
+        # ~6x at typical hit densities. Only valid for THIS engine's
+        # stage1 (the distributed engine's routed stage1 has no
+        # hits-first invariant and clears the flag).
+        _ns = self._ns_out
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def _s1_prefix(packed, p):
+            return jnp.concatenate(
+                [packed[:, :p], packed[:, _ns : _ns + p], packed[:, 2 * _ns :]],
+                axis=1,
+            )
+
+        self._s1_prefix = _s1_prefix
+        self._s1_hits_first = True
+        self._s1_pref = 128
         # per-pipeline-group device event-history buffers (B, hmax)
         self._group_hist: dict[int, jax.Array] = {}
         # host copies for hit expansion
@@ -609,6 +644,7 @@ class MappingEngine:
             "dtw_cells": 0,
             "fused_escalations": 0,
             "fused_refetches": 0,
+            "stage1_prefix_refetches": 0,
         }
         # wall-clock per engine phase (seconds), for profiling
         self.phase_times = {
@@ -789,13 +825,74 @@ class MappingEngine:
         else:
             stage1_fut, hist_new = self._stage1(packed_in, hist, hist_off)
         self._group_hist[g] = hist_new
+        P = self._s1_pref
+        use_pref = (
+            not use_fused
+            and self._s1_hits_first
+            and not self._events_on_host
+            and P < self._ns_out
+        )
         # start the device->host fetch NOW: device_get only issues the
         # transfer RPC when called, so without this the ~40 ms link
         # latency serializes across pipeline groups instead of hiding
         # behind their host work
-        stage1_fut.copy_to_host_async()
+        if use_pref:
+            pref_fut = self._s1_prefix(stage1_fut, P)
+            pref_fut.copy_to_host_async()
+        else:
+            stage1_fut.copy_to_host_async()
         yield  # other groups' host work overlaps this device work
         from rawalign_tpu import runtime
+
+        if use_pref:
+            pref = runtime.fetch(pref_fut, label="stage1 prefix fetch")
+            s1 = stage1_codec.unpack_stage1(
+                pref, ne=opt.max_events_per_chunk, ns=P,
+                events_on_host=False,
+            )
+            if np.any(s1.count[:, P - 1] > 0):
+                # a row may have hit slots beyond the prefix: refetch
+                # the full (still-live, non-donated) stage1 output
+                self.counters["stage1_prefix_refetches"] += 1
+                stage1_fut.copy_to_host_async()
+                yield
+                packed = runtime.fetch(stage1_fut, label="stage1 fetch")
+                s1 = stage1_codec.unpack_stage1(
+                    packed, ne=opt.max_events_per_chunk, ns=self._ns_out,
+                    events_on_host=False,
+                )
+            # adapt: next round downloads a pow2 prefix with 2x headroom
+            # over this round's widest row (floor 64)
+            nhit_max = int((s1.count > 0).sum(axis=1).max()) if B else 0
+            p2 = 64
+            while p2 < 2 * nhit_max:
+                p2 *= 2
+            self._s1_pref = min(p2, self._ns_out)
+            ev_values = s1.ev_values
+            h_lo, h_qpos, h_count = s1.lo, s1.qpos, s1.count
+            ev_counts = s1.n_events
+            ev_dropped = s1.n_ev_dropped
+            hit_dropped = s1.n_occ_dropped
+            compact_dropped = s1.n_compact_dropped
+            fused_scores = fused_preds = None
+            mark("stage_chain")
+            self.counters["events_dropped"] += int(ev_dropped.sum())
+            self.counters["seed_hits_dropped"] += int(hit_dropped.sum())
+            self.counters["seed_hits_compact_dropped"] += int(
+                compact_dropped.sum()
+            )
+            chain_this_round = ev_counts >= opt.min_events
+            for i, st in enumerate(slots):
+                if st is None:
+                    chain_this_round[i] = False
+                    continue
+                st.ev_total += int(ev_counts[i])
+            return (yield from self._round_tail(
+                slots, g, B, L, SENT, carried_lists, chain_this_round,
+                h_lo, h_qpos, h_count, ev_counts, hit_dropped,
+                compact_dropped, use_fused, fused_scores, fused_preds,
+                dp_full, mark, charge_round,
+            ))
 
         packed = runtime.fetch(stage1_fut, label="stage1 fetch")
         fused_scores = fused_preds = None
@@ -816,6 +913,15 @@ class MappingEngine:
                 ns=self._ns_out,
                 events_on_host=self._events_on_host,
             )
+            if self._s1_hits_first and not self._events_on_host:
+                # keep the adaptive prefix width tracking even on full
+                # fetches, so a one-round spike to ns_out can shrink
+                # back next round
+                nhit_max = int((s1.count > 0).sum(axis=1).max()) if B else 0
+                p2 = 64
+                while p2 < 2 * nhit_max:
+                    p2 *= 2
+                self._s1_pref = min(p2, self._ns_out)
         ev_values = s1.ev_values
         h_lo, h_qpos, h_count = s1.lo, s1.qpos, s1.count
         ev_counts = s1.n_events

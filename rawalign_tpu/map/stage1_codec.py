@@ -74,6 +74,27 @@ def unpack_qc(qc):
     return qc >> 16, qc & 0xFFFF
 
 
+def hits_first_perm(count):
+    """Stable permutation putting nonzero-count seed columns first.
+
+    Zero-count slots emit no anchors, so applying this to the compacted
+    seed blocks cannot change the expanded anchor order — but it makes
+    nonzero counts a contiguous column PREFIX, the invariant behind the
+    engine's adaptive stage1 prefix download. BOTH engines must apply
+    it (single source here) or the cross-engine bit-identity test
+    fails.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    flag = (count == 0).astype(jnp.int32)
+    idx = jnp.broadcast_to(
+        jnp.arange(count.shape[1], dtype=jnp.int32)[None, :], count.shape
+    )
+    _f, perm = jax.lax.sort((flag, idx), dimension=1, num_keys=1)
+    return perm
+
+
 def pack_stage1(ev_values, lo, qc, scalars, *, include_events: bool):
     """Assemble the device-side packed stage1 output (jnp arrays).
 

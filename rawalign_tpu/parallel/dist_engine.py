@@ -197,6 +197,12 @@ class DistributedMappingEngine(MappingEngine):
             # inherited host unpack consumes it) — shared codec, single
             # source of truth (stage1_codec.py)
             qc_c = stage1_codec.pack_qc(qp_c, cnt_c)
+            # shared hits-first column permutation (stage1_codec): keeps
+            # the unpacked blocks bit-identical to the single-device
+            # stage1 (tests/test_stage1_codec.py cross-engine bar)
+            perm2 = stage1_codec.hits_first_perm(cnt_c)
+            lo_c = jnp.take_along_axis(lo_c, perm2, axis=1)
+            qc_c = jnp.take_along_axis(qc_c, perm2, axis=1)
             scalars = jnp.stack(
                 [
                     ev.n_events.astype(jnp.int32),
@@ -234,6 +240,9 @@ class DistributedMappingEngine(MappingEngine):
             f(packed_in, ksh_d, nr_d, off_d),
             hist,
         )
+        # the routed stage1 shares the hits-first invariant (above), but
+        # distributed mode keeps events on the host, so the prefix
+        # download path never engages here (events ride the full fetch)
 
     # ------------------------------------------------------------------
     def _build_chain_sharded(self) -> None:

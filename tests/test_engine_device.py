@@ -201,3 +201,48 @@ def test_engine_host_stage1_multichunk(setup):
                 n_correct += 1
     assert n_mapped >= 7
     assert n_correct >= n_mapped - 1
+
+
+def test_stage1_prefix_download_matches_full_fetch(setup):
+    """The adaptive stage1 prefix download (hits-first invariant +
+    count[:, P-1] overflow refetch) must be PAF-invisible: same output
+    as the full-width fetch, and the forced-tiny-prefix run must take
+    the refetch branch at least once."""
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    reads = [(r.name, r.signal) for r in ds.reads]
+
+    eng_full = MappingEngine(idx, mo, batch_size=4)
+    eng_full._s1_hits_first = False  # disable the prefix path entirely
+    want = {
+        r.read_name: _strip_time(paf.paf_line(r))
+        for r in eng_full.map_reads(reads)
+    }
+
+    eng_pref = MappingEngine(idx, mo, batch_size=4)
+    assert eng_pref._s1_hits_first and eng_pref._s1_pref < eng_pref._ns_out
+    got = {
+        r.read_name: _strip_time(paf.paf_line(r))
+        for r in eng_pref.map_reads(reads)
+    }
+    assert got == want
+
+    # force the overflow branch: a 1-column prefix is always narrower
+    # than any round with hits, and the adapt step runs after the
+    # refetch — freeze it back down each round via the counter hook
+    eng_tiny = MappingEngine(idx, mo, batch_size=4)
+    orig_gen = eng_tiny._round_gen
+
+    def gen(slots, g):
+        eng_tiny._s1_pref = 1
+        return orig_gen(slots, g)
+
+    eng_tiny._round_gen = gen
+    got_tiny = {
+        r.read_name: _strip_time(paf.paf_line(r))
+        for r in eng_tiny.map_reads(reads)
+    }
+    assert got_tiny == want
+    assert eng_tiny.counters["stage1_prefix_refetches"] >= 1
