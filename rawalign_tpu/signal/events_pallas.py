@@ -95,7 +95,7 @@ def _tstat(ps_m, ps_c, ps_p, pss_m, pss_c, pss_p, i, length, w, zeros):
     return jnp.where(ok, t, zeros)
 
 
-def _make_kernel(L, w1, w2, threshold1, threshold2, peak_height):
+def _make_kernel(L, w1, w2, threshold1, threshold2, peak_height, unroll=1):
     ph = np.float32(peak_height)
     thr = (np.float32(threshold1), np.float32(threshold2))
     win = (w1, w2)
@@ -147,7 +147,7 @@ def _make_kernel(L, w1, w2, threshold1, threshold2, peak_height):
                 zero_i,  # valid_peak (0/1 mask)
             )
 
-        def body(i, carry):
+        def one_step(i, carry):
             rolls, st0, st1, ps_last, pss_last = carry
             ps_list = list(rolls[: W - 1])
             pss_list = list(rolls[W - 1 :])
@@ -191,15 +191,27 @@ def _make_kernel(L, w1, w2, threshold1, threshold2, peak_height):
             )
 
             packed = (emit0 + 1) | ((emit1 + 1) << 13)
-            pos_ref[pl.ds(i, 1), :] = packed
+
+            @pl.when(i < L)
+            def _():
+                pos_ref[pl.ds(jnp.minimum(i, L - 1), 1), :] = packed
 
             new_rolls = tuple(ps_list[1:]) + tuple(pss_list[1:])
             return (new_rolls, st0n, st1n, ps_new, pss_new)
 
+        def body(i0, carry):
+            # Unrolled by `unroll`: steps past L are state no-ops (the
+            # active/ok predicates all compare against length <= L and
+            # the padded signal reads 0.0), so only the stores above
+            # need the i < L guard.
+            for u in range(unroll):
+                carry = one_step(i0 * unroll + u, carry)
+            return carry
+
         init_rolls = tuple(ps_roll) + tuple(pss_roll)
         jax.lax.fori_loop(
             0,
-            L,
+            -(-L // unroll),
             body,
             (init_rolls, mk_state(), mk_state(), ps_roll[-1], pss_roll[-1]),
         )
@@ -211,6 +223,7 @@ def _make_kernel(L, w1, w2, threshold1, threshold2, peak_height):
     jax.jit,
     static_argnames=(
         "w1", "w2", "threshold1", "threshold2", "peak_height", "interpret",
+        "unroll",
     ),
 )
 def peak_scan_pallas(
@@ -223,6 +236,7 @@ def peak_scan_pallas(
     threshold2: float,
     peak_height: float,
     interpret: bool = False,
+    unroll: int = 4,
 ):
     """Run the fused prefix-sum + t-stat + peak kernel.
 
@@ -240,7 +254,9 @@ def peak_scan_pallas(
     sig_t = sig_p.reshape(G, 128, L).transpose(0, 2, 1)
     len_t = len_p.reshape(G, 1, 128)
 
-    kernel = _make_kernel(L, w1, w2, threshold1, threshold2, peak_height)
+    kernel = _make_kernel(
+        L, w1, w2, threshold1, threshold2, peak_height, unroll=unroll
+    )
     pos, ps = pl.pallas_call(
         kernel,
         grid=(G,),

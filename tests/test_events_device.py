@@ -67,3 +67,23 @@ def test_device_events_empty_and_constant():
     assert int(res.n_events[2]) > 10
     v = np.asarray(res.values[2][: int(res.n_events[2])])
     assert abs(float(np.mean(v))) < 1e-3
+
+
+def test_pallas_unroll_parity_interpret():
+    """The unrolled event kernel (steps past L are state no-ops) is
+    bitwise identical to the step-per-iteration variant."""
+    from rawalign_tpu.signal import events_pallas as ep
+
+    rng = np.random.default_rng(11)
+    B, L = 8, 997  # odd L so every unroll factor exercises the tail guard
+    sig = rng.normal(0, 1, (B, L)).astype(np.float32)
+    lens = rng.integers(50, L + 1, B).astype(np.int32)
+    kw = dict(
+        w1=3, w2=6, threshold1=4.30265, threshold2=2.57058,
+        peak_height=1.0, interpret=True,
+    )
+    base = ep.peak_scan_pallas(sig, lens, unroll=1, **kw)
+    for unroll in (3, 4):
+        got = ep.peak_scan_pallas(sig, lens, unroll=unroll, **kw)
+        assert np.array_equal(np.asarray(base[0]), np.asarray(got[0]))
+        assert np.array_equal(np.asarray(base[1]), np.asarray(got[1]))
