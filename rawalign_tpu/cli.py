@@ -115,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="capture a jax.profiler device trace into DIR")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax debug_nans (slow; for debugging)")
+    p.add_argument("--selfcheck", type=float, default=0.0, metavar="FRAC",
+                   help="sanitizer analog: re-map a deterministic FRAC "
+                   "sample of reads with the golden host oracle and "
+                   "report any mapping-column divergence (0=off)")
     return p
 
 
@@ -313,11 +317,19 @@ def main(argv=None) -> int:
 
         jax.profiler.start_trace(args.profile)
 
+    checker = None
+    if args.selfcheck > 0.0:
+        from rawalign_tpu.selfcheck import SelfCheck
+
+        checker = SelfCheck(idx, mo, fraction=args.selfcheck)
+
     def reads():
         from rawalign_tpu.io.prefetch import prefetch_signals
 
         for name, sig in prefetch_signals(files, n_threads=args.threads):
             if name not in already_done:
+                if checker is not None:
+                    checker.capture(name, sig)
                 yield name, sig
 
     n_out = 0
@@ -344,6 +356,8 @@ def main(argv=None) -> int:
     for res in results:
         print(paf.paf_line(res), file=out)
         n_out += 1
+        if checker is not None:
+            checker.record(res)
         if su is not None and res.mapped:
             ref_id = idx.seq_names.index(res.ref_name)
             if su.add_mapped_read(ref_id, res.fragment_length):
@@ -357,6 +371,8 @@ def main(argv=None) -> int:
         import jax
 
         jax.profiler.stop_trace()
+    if checker is not None:
+        checker.report()
     if out is not sys.stdout:
         out.close()
     # final resource report (main.cpp:389-394)

@@ -177,3 +177,25 @@ def test_prefetch_matches_sync(workdir, tmp_path):
     assert [n for n, _ in pre] == [n for n, _ in sync]
     for (_, a), (_, b) in zip(pre, sync):
         np.testing.assert_array_equal(a, b)
+
+
+def test_cli_selfcheck(workdir, capsys):
+    d, ds = workdir
+    if not (d / "ref.idx.npz").exists():
+        assert cli.main(
+            ["-x", "viral", "-p", str(d / "model.txt"),
+             "-d", str(d / "ref.idx.npz"), str(d / "ref.fa")]
+        ) == 0
+    rc = cli.main(
+        [
+            "-x", "viral",
+            "--dtw-evaluate-chains",
+            "--selfcheck", "1.0",
+            "-o", str(d / "out_sc.paf"),
+            str(d / "ref.idx.npz"),
+            str(d / "reads.fast5"),
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "[M::selfcheck] ok:" in err, err
