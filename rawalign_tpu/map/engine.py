@@ -1318,10 +1318,14 @@ class MappingEngine:
             c0 = chains[0]
             if opt.flag & MappingFlag.DTW_OUTPUT_CIGAR:
                 gchain.align_chain(c0, self.index, st.events, opt, cigar=True)
+            # sum of consecutive anchor deltas telescopes to first-last;
+            # anchors are uint32 so the float64 result is bit-identical
+            # to the golden oracle's per-element loop (rmap.cpp's at/aq)
             at = aq = 0.0
-            for ai in range(n_anchors0 - 1):
-                at += float(c0.anchors[ai][0]) - float(c0.anchors[ai + 1][0])
-                aq += float(c0.anchors[ai][1]) - float(c0.anchors[ai + 1][1])
+            if n_anchors0 > 1:
+                last = n_anchors0 - 1
+                at = float(c0.anchors[0][0]) - float(c0.anchors[last][0])
+                aq = float(c0.anchors[0][1]) - float(c0.anchors[last][1])
             at /= n_anchors0
             aq /= n_anchors0
             tags = paf.build_tags(
@@ -1375,9 +1379,10 @@ class MappingEngine:
         if chains:
             c0 = chains[0]
             at = aq = 0.0
-            for ai in range(n_anchors0 - 1):
-                at += float(c0.anchors[ai][0]) - float(c0.anchors[ai + 1][0])
-                aq += float(c0.anchors[ai][1]) - float(c0.anchors[ai + 1][1])
+            if n_anchors0 > 1:  # telescoped delta sum, see above
+                last = n_anchors0 - 1
+                at = float(c0.anchors[0][0]) - float(c0.anchors[last][0])
+                aq = float(c0.anchors[0][1]) - float(c0.anchors[last][1])
             if n_anchors0:
                 at /= n_anchors0
                 aq /= n_anchors0

@@ -112,7 +112,10 @@ class SelfCheck:
             "divergences": divergences,
         }
 
-    def report(self, stream=sys.stderr) -> dict:
+    def report(self, stream=None) -> dict:
+        # resolve sys.stderr at call time (a default arg would freeze
+        # whatever object sys.stderr was at import, e.g. a test capture)
+        stream = stream if stream is not None else sys.stderr
         rep = self.run()
         if rep["n_divergent"]:
             print(
