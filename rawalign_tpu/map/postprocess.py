@@ -316,17 +316,28 @@ def bnb_replay(
                 dtw_cost = np.float32(costs[0])
                 num_aligned = read_size
         else:
+            # vectorized replay of the scalar per-part loop, bit-identical:
+            # ufunc.accumulate applies float32 ops in the same sequential
+            # order as `current_max -= sub` / `dtw_cost += sub`, and the
+            # per-part num_aligned deltas telescope (anchors are uints)
             parts = chain.n_anchors - 1
-            for part in range(parts):
-                if current_max < best_found:
+            subs = np.asarray(costs, dtype=np.float32)[:parts]
+            if parts:
+                cm = np.subtract.accumulate(
+                    np.concatenate([np.float32([current_max]), subs])
+                )
+                # the scalar loop checks before each part, so with fewer
+                # costs than parts the check after the last available
+                # subtraction still runs before the out-of-range index
+                if np.any(cm[: min(parts, subs.size + 1)] < best_found):
                     abandoned = True
-                    break
-                sub = np.float32(costs[part])
-                dtw_cost += sub
-                current_max -= sub
-                sa_p = chain.anchors[parts - part]
-                ea_p = chain.anchors[parts - part - 1]
-                num_aligned += int(ea_p[1]) - int(sa_p[1]) + 1
+                elif subs.size < parts:
+                    raise IndexError(
+                        f"{subs.size} part costs for {parts} chain parts"
+                    )
+                else:
+                    dtw_cost = np.add.accumulate(subs)[-1]
+                    num_aligned = read_size - 1 + parts
         if abandoned:
             chain.alignment_score = -1e10
             continue
