@@ -145,26 +145,21 @@ def map_read(
         current_chunk -= 1
 
     offset = state.offset if state.offset else 1  # avoid div-by-zero like C's UB
-    read_position_scale = (
-        float(current_chunk + 1) * l_chunk / offset
-    ) / (float(opt.sample_rate) / opt.bp_per_sec)
+    read_position_scale = paf.position_scale_f32(
+        current_chunk + 1, l_chunk, offset, opt.sample_rate, opt.bp_per_sec
+    )
 
     chains = state.chains
     n_anchors0 = chains[0].n_anchors if chains else 0
-    mean_chain_score = (
-        sum(c.chaining_score for c in chains) / len(chains) if chains else 0.0
+    mean_chain_score = paf.mean_score_f32(
+        [c.chaining_score for c in chains]
     )
 
     if is_mapped_with_high_confidence(state, opt):
         c0 = chains[0]
         if opt.flag & MappingFlag.DTW_OUTPUT_CIGAR:
             gchain.align_chain(c0, index, state.events, opt, cigar=True)
-        at = aq = 0.0
-        for ai in range(n_anchors0 - 1):
-            at += float(c0.anchors[ai][0]) - float(c0.anchors[ai + 1][0])
-            aq += float(c0.anchors[ai][1]) - float(c0.anchors[ai + 1][1])
-        at /= n_anchors0
-        aq /= n_anchors0
+        at, aq = paf.anchor_gap_means_f32(c0.anchors)
         tags = paf.build_tags(
             mapping_time_ms=mapping_time_ms,
             n_chunks=current_chunk + 1,
@@ -201,12 +196,12 @@ def map_read(
         )
         return paf.MappingResult(
             read_name=read_name,
-            read_length=int(read_position_scale * c0.anchors[0][1]),
+            read_length=paf.scale_pos(read_position_scale, c0.anchors[0][1]),
             mapped=True,
-            read_start_position=int(
-                read_position_scale * c0.anchors[n_anchors0 - 1][1]
+            read_start_position=paf.scale_pos(
+                read_position_scale, c0.anchors[n_anchors0 - 1][1]
             ),
-            read_end_position=int(read_position_scale * c0.anchors[0][1]),
+            read_end_position=paf.scale_pos(read_position_scale, c0.anchors[0][1]),
             ref_name=index.seq_names[c0.reference_sequence_index],
             ref_len=ref_len,
             fragment_start_position=frag_start,
@@ -219,13 +214,10 @@ def map_read(
     # unmapped
     if chains:
         c0 = chains[0]
-        at = aq = 0.0
-        for ai in range(n_anchors0 - 1):
-            at += float(c0.anchors[ai][0]) - float(c0.anchors[ai + 1][0])
-            aq += float(c0.anchors[ai][1]) - float(c0.anchors[ai + 1][1])
         if n_anchors0:
-            at /= n_anchors0
-            aq /= n_anchors0
+            at, aq = paf.anchor_gap_means_f32(c0.anchors)
+        else:
+            at = aq = 0.0
         tags = paf.build_tags(
             mapping_time_ms=mapping_time_ms,
             n_chunks=current_chunk + 1,
@@ -246,7 +238,7 @@ def map_read(
         )
     return paf.MappingResult(
         read_name=read_name,
-        read_length=int(read_position_scale * state.offset),
+        read_length=paf.scale_pos(read_position_scale, state.offset),
         mapped=False,
         mapq=0,
         tags=tags,

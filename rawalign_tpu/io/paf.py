@@ -10,10 +10,65 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 
 def _f(x: float) -> str:
     """std::to_string(float): fixed 6 decimals."""
     return f"{x:.6f}"
+
+
+def position_scale_f32(
+    n_chunks: int, chunk_size: int, offset: int,
+    sample_rate: float, bp_per_sec: float,
+) -> np.float32:
+    """read_position_scale in the reference's exact float32 arithmetic
+    (rmap.cpp:698): ((float)(cc+1)*l_chunk/offset) /
+    ((float)sample_rate/bp_per_sec), every step rounded to f32."""
+    num = np.float32(
+        np.float32(np.float32(n_chunks) * np.float32(chunk_size))
+        / np.float32(max(offset, 1))
+    )
+    den = np.float32(np.float32(sample_rate) / np.float32(bp_per_sec))
+    return np.float32(num / den)
+
+
+def scale_pos(scale32: np.float32, pos: int) -> int:
+    """(uint32_t)(read_position_scale * position): f32 product then
+    C truncation toward zero (rmap.cpp:750-752,793)."""
+    return int(np.float32(np.float32(scale32) * np.float32(pos)))
+
+
+def anchor_gap_means_f32(anchors) -> tuple[float, float]:
+    """at/aq tags: mean consecutive-anchor gap of the best chain.
+
+    Bit-identical to the reference (rmap.cpp:719-729): a float32
+    left-fold of the per-pair uint32 deltas, then a float32 division by
+    n_anchors0. The deltas and partial sums are exact integers until the
+    sum crosses 2^24, so the fold must stay in f32 to round exactly
+    where the C code does. np.cumsum is a sequential accumulate, i.e.
+    the same left fold.
+    """
+    a = np.asarray(anchors)
+    n = a.shape[0]
+    if n < 2:
+        # the C loop adds nothing; 0.0f / n
+        z = np.float32(0.0) / np.float32(max(n, 1))
+        return float(z), float(z)
+    # C subtracts uint32s (wrapping) before the float conversion
+    d = (a[:-1, :2].astype(np.int64) - a[1:, :2].astype(np.int64)) & 0xFFFFFFFF
+    sums = np.cumsum(d.astype(np.uint32).astype(np.float32), axis=0,
+                     dtype=np.float32)[-1]
+    nf = np.float32(n)
+    return float(sums[0] / nf), float(sums[1] / nf)
+
+
+def mean_score_f32(scores) -> float:
+    """sm tag: float32 left-fold of chain scores / n (rmap.cpp:707-711)."""
+    if len(scores) == 0:
+        return 0.0
+    s = np.cumsum(np.asarray(scores, np.float32), dtype=np.float32)[-1]
+    return float(s / np.float32(len(scores)))
 
 
 @dataclasses.dataclass

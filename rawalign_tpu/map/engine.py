@@ -1301,15 +1301,13 @@ class MappingEngine:
         self.counters["reads_processed"] += 1
         ci = max(st.chunks_done, 1)
         offset = st.offset if st.offset else 1
-        scale = (float(ci) * opt.chunk_size / offset) / (
-            float(opt.sample_rate) / opt.bp_per_sec
+        scale = paf.position_scale_f32(
+            ci, opt.chunk_size, offset, opt.sample_rate, opt.bp_per_sec
         )
         chains = st.chains
         n_anchors0 = chains[0].n_anchors if chains else 0
-        mean_score = (
-            sum(c.chaining_score for c in chains) / len(chains)
-            if chains
-            else 0.0
+        mean_score = paf.mean_score_f32(
+            [c.chaining_score for c in chains]
         )
         mapping_time_ms = st.map_time * 1000.0
         mapped = self._decision(st)
@@ -1318,16 +1316,9 @@ class MappingEngine:
             c0 = chains[0]
             if opt.flag & MappingFlag.DTW_OUTPUT_CIGAR:
                 gchain.align_chain(c0, self.index, st.events, opt, cigar=True)
-            # sum of consecutive anchor deltas telescopes to first-last;
-            # anchors are uint32 so the float64 result is bit-identical
-            # to the golden oracle's per-element loop (rmap.cpp's at/aq)
-            at = aq = 0.0
-            if n_anchors0 > 1:
-                last = n_anchors0 - 1
-                at = float(c0.anchors[0][0]) - float(c0.anchors[last][0])
-                aq = float(c0.anchors[0][1]) - float(c0.anchors[last][1])
-            at /= n_anchors0
-            aq /= n_anchors0
+            # f32 left-fold of per-pair deltas + f32 division, exactly
+            # the reference's accumulation (rmap.cpp:719-729)
+            at, aq = paf.anchor_gap_means_f32(c0.anchors)
             tags = paf.build_tags(
                 mapping_time_ms=mapping_time_ms,
                 n_chunks=ci,
@@ -1364,10 +1355,10 @@ class MappingEngine:
             )
             return paf.MappingResult(
                 read_name=st.name,
-                read_length=int(scale * c0.anchors[0][1]),
+                read_length=paf.scale_pos(scale, c0.anchors[0][1]),
                 mapped=True,
-                read_start_position=int(scale * c0.anchors[n_anchors0 - 1][1]),
-                read_end_position=int(scale * c0.anchors[0][1]),
+                read_start_position=paf.scale_pos(scale, c0.anchors[n_anchors0 - 1][1]),
+                read_end_position=paf.scale_pos(scale, c0.anchors[0][1]),
                 ref_name=self.index.seq_names[c0.reference_sequence_index],
                 ref_len=ref_len,
                 fragment_start_position=frag_start,
@@ -1378,14 +1369,10 @@ class MappingEngine:
             )
         if chains:
             c0 = chains[0]
-            at = aq = 0.0
-            if n_anchors0 > 1:  # telescoped delta sum, see above
-                last = n_anchors0 - 1
-                at = float(c0.anchors[0][0]) - float(c0.anchors[last][0])
-                aq = float(c0.anchors[0][1]) - float(c0.anchors[last][1])
             if n_anchors0:
-                at /= n_anchors0
-                aq /= n_anchors0
+                at, aq = paf.anchor_gap_means_f32(c0.anchors)
+            else:
+                at = aq = 0.0
             tags = paf.build_tags(
                 mapping_time_ms=mapping_time_ms,
                 n_chunks=ci,
@@ -1404,7 +1391,7 @@ class MappingEngine:
             )
         return paf.MappingResult(
             read_name=st.name,
-            read_length=int(scale * st.offset),
+            read_length=paf.scale_pos(scale, st.offset),
             mapped=False,
             mapq=0,
             tags=tags,

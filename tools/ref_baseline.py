@@ -32,6 +32,22 @@ BUILD_DIR = os.environ.get("BUILD_DIR", "/tmp/ref_baseline")
 BIN = os.path.join(BUILD_DIR, "src", "rawalign")
 
 
+def digitize(sig, *, dig=8192.0, rng=1400.0, off=10.0):
+    """Round-trip a float pA signal through the int16 DAC digitization
+    the sraw/FAST5 writers apply, plus the reference's pA conversion and
+    (30,200) clip (rsig.cpp:216-224; identical arithmetic in
+    rsig_shim.cpp and io/fast5.py). Any parity comparison MUST feed the
+    engine this, not the raw synth floats — the round-trip perturbs the
+    event detector by ~1% of event boundaries, which round-3 parity
+    numbers wrongly attributed to engine drift."""
+    scale = rng / dig
+    raw = np.round(np.asarray(sig, np.float64) / scale - off).astype(np.int16)
+    pa = (raw.astype(np.float32) + np.float32(off)) * np.float32(
+        np.float32(rng) / np.float32(dig)
+    )
+    return pa[(pa > 30) & (pa < 200)]
+
+
 def write_sraw(path, reads, *, dig=8192.0, rng=1400.0, off=10.0):
     """Binary signal container read by tools/refshim/rsig_shim.cpp.
 

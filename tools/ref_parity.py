@@ -47,7 +47,12 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools.ref_baseline import BIN, BUILD_DIR, write_sraw  # noqa: E402
+from tools.ref_baseline import (  # noqa: E402
+    BIN,
+    BUILD_DIR,
+    digitize,
+    write_sraw,
+)
 
 _MT = re.compile(r"\tmt:f:[^\t\n]*")
 
@@ -88,9 +93,14 @@ def make_data(genome_kb: int, n_reads: int):
     return data, ds, ref_fa, model_txt, sraw, ind
 
 
-def binary_map(ind: str, sraw: str) -> str:
+FPEXACT_BIN = os.path.join(
+    os.environ.get("FPEXACT_BUILD_DIR", "/tmp/ref_fpexact"), "src", "rawalign"
+)
+
+
+def binary_map(ind: str, sraw: str, bin_path: str = BIN) -> str:
     p = subprocess.run(
-        [BIN, "-x", "sensitive", "--dtw-evaluate-chains", "-t", "1",
+        [bin_path, "-x", "sensitive", "--dtw-evaluate-chains", "-t", "1",
          ind, sraw],
         check=True, capture_output=True, text=True,
     )
@@ -107,7 +117,9 @@ def engine_map(idx, ds, **engine_kw) -> tuple[str, dict]:
     config.set_opt("sensitive", io, mo)
     mo.set_flag(MappingFlag.DTW_EVALUATE_CHAINS)
     eng = MappingEngine(idx, mo, **engine_kw)
-    reads = [(r.name, r.signal) for r in ds.reads]
+    # digitize(): the binary reads int16 DAC round-tripped signals; feed
+    # the engine byte-identical inputs or parity is meaningless.
+    reads = [(r.name, digitize(r.signal)) for r in ds.reads]
     lines = [paf.paf_line(r) for r in eng.map_reads(iter(reads))]
     return "\n".join(lines) + "\n", dict(eng.counters)
 
@@ -210,6 +222,36 @@ def run_scale(genome_kb: int, n_reads: int, flood: bool) -> dict:
         k: counters[k]
         for k in ("anchors_dropped", "seed_hits_dropped", "reads_mapped")
     }
+
+    # bar 3b: against the -ffp-contract=off reference build (the
+    # portable-FP semantics our golden/engine reproduce bit-exactly; the
+    # stock -march=native binary FMA-contracts revent.c and diverges
+    # from its own portable build — scripts/build_reference_fpexact.sh)
+    if os.path.exists(FPEXACT_BIN):
+        ind_fp = os.path.join(data, "ref_fpexact.ind")
+        if not os.path.exists(ind_fp):
+            subprocess.run(
+                [FPEXACT_BIN, "-x", "sensitive", "-t",
+                 str(os.cpu_count() or 1), "-d", ind_fp, "-p", model_txt,
+                 ref_fa],
+                check=True, capture_output=True,
+            )
+        ref_paf_fp = binary_map(ind_fp, sraw, FPEXACT_BIN)
+        stfp = compare_pafs(ref_paf_fp, our_paf)
+        bmfp = max(stfp["both_mapped"], 1)
+        out["engine_vs_fpexact_binary"] = {
+            **stfp,
+            "mapped_agree_frac": round(
+                stfp["mapped_agree"] / max(stfp["reads"], 1), 4
+            ),
+            "target_strand_frac": round(
+                stfp["target_strand_agree"] / bmfp, 4
+            ),
+            "pos_within_tol_frac": round(stfp["pos_within_tol"] / bmfp, 4),
+            "byte_identical_frac": round(
+                stfp["byte_identical"] / max(stfp["reads"], 1), 4
+            ),
+        }
 
     if flood:
         # tiny anchor budget + big occ cap: every round floods the
