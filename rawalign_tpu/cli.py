@@ -100,13 +100,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="chaining DP placement: host C (native) or the "
                    "device kernel; auto prefers native when the host "
                    "library is built")
-    p.add_argument("--stage1-impl", choices=["device", "host"],
-                   default="device",
-                   help="events+sketch+lookup placement: 'device' (one "
-                   "jitted dispatch, the TPU-first default) or 'host' "
-                   "(C event detector + C sketch + binary-search "
-                   "lookup; one device round trip per round — for "
-                   "link-latency-bound deployments)")
+    p.add_argument("--stage1-impl",
+                   choices=["auto", "device", "host", "hybrid"],
+                   default="auto",
+                   help="events+sketch+lookup placement: 'hybrid' "
+                   "(host-C event detector — bit-identical to the "
+                   "reference's C-double semantics — + device sketch/"
+                   "lookup; the default when the native lib is built), "
+                   "'device' (everything in one jitted dispatch, "
+                   "f32 event detector), 'host' (C events + C sketch + "
+                   "binary-search lookup; one device round trip per "
+                   "round). 'auto' = hybrid if available else device")
     # observability / fault tolerance (SURVEY §5: the reference has none;
     # these are framework additions)
     p.add_argument("--resume", action="store_true",

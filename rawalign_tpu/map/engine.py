@@ -108,7 +108,7 @@ class MappingEngine:
         dtw_device_max_b: int = 2048,
         fused: bool = False,
         chain_impl: str = "auto",
-        stage1_impl: str = "device",
+        stage1_impl: str = "auto",
     ):
         from rawalign_tpu import runtime
 
@@ -124,16 +124,39 @@ class MappingEngine:
         self.max_carried = max_carried
         self.chain_window = chain_window
         self.pipeline_depth = pipeline_depth
-        if stage1_impl not in ("device", "host"):
-            raise ValueError(f"stage1_impl must be device|host: {stage1_impl}")
+        if stage1_impl not in ("auto", "device", "host", "hybrid"):
+            raise ValueError(
+                f"stage1_impl must be auto|device|host|hybrid: {stage1_impl}"
+            )
+        if stage1_impl == "auto":
+            # hybrid = host-C event detection (bit-identical to the
+            # golden C-double semantics, revent.c:22-188) feeding the
+            # device sketch+lookup. Default when the native lib is
+            # built: it closes the device f32 event-detector parity gap
+            # AND replaces the raw-signal upload with the ~8x smaller
+            # event upload while dropping the events kernel from the
+            # device stage. `fused=True` needs the signal on device, so
+            # it keeps the device detector.
+            from rawalign_tpu import native as _nat
+
+            stage1_impl = (
+                "hybrid"
+                if (_nat.available() and _nat.events_available()
+                    and not fused)
+                else "device"
+            )
+        self._stage1_mode = stage1_impl
         self._stage1_host = stage1_impl == "host"
-        if self._stage1_host:
+        self._stage1_hybrid = stage1_impl == "hybrid"
+        if self._stage1_hybrid and fused:
+            raise ValueError("fused=True requires stage1_impl='device'")
+        if stage1_impl in ("host", "hybrid"):
             from rawalign_tpu import native as _nat
 
             if not (_nat.available() and _nat.events_available()):
                 raise RuntimeError(
-                    "stage1_impl='host' requires the native host library "
-                    "(make -C native)"
+                    f"stage1_impl='{stage1_impl}' requires the native "
+                    "host library (make -C native)"
                 )
         # tiles with a side beyond these run on the host C fallback; the
         # Pallas wavefront kernel is validated bit-exact through 2048
@@ -184,9 +207,14 @@ class MappingEngine:
         # per-slot device history buffer and never cross the link — the
         # tunneled device runtime moves ~45 MB/s, so the per-round event
         # download + DTW event-pool upload (~16 KB/read) dominated.
-        self._events_on_host = bool(
-            opt.flag & MappingFlag.DTW_OUTPUT_CIGAR
-        ) or self._stage1_host
+        # hybrid keeps a free host copy of every event (they originate
+        # there), so it never needs events in the stage1 download or the
+        # DTW host pool — _events_on_host stays False and CIGAR reads
+        # st.events directly
+        self._events_on_host = (
+            bool(opt.flag & MappingFlag.DTW_OUTPUT_CIGAR)
+            or self._stage1_host
+        ) and not self._stage1_hybrid
         # seed slots kept after device-side compaction (seeds with hits
         # are sorted first, original order preserved); rounds carry a
         # dropped-hits counter for the (rare) overflow
@@ -221,6 +249,23 @@ class MappingEngine:
                 peak_height=opt.peak_height,
                 max_events=ne,
             )
+            (lo_c, qc_c, qp_c, cnt_c, scalars, hist) = _stage1_post(
+                bt, ev.values, ev.n_events, ev.n_dropped, hist, hist_off
+            )
+            return ev, lo_c, qc_c, qp_c, cnt_c, scalars, hist
+
+        def _stage1_post(bt, ev_values, ev_n, ev_ndrop, hist, hist_off):
+            """Sketch + lookup + history append on an event batch —
+            shared by the device stage1 (device-detected events) and the
+            hybrid stage1 (host-C-detected events uploaded in place of
+            the raw signal)."""
+
+            class _Ev:  # duck-typed view of devents' event batch
+                values = ev_values
+                n_events = ev_n
+                n_dropped = ev_ndrop
+
+            ev = _Ev
             if io.w:
                 seeds = dsketch.sketch_events_min_batch(
                     ev.values, ev.n_events, w=io.w, e=io.e, q=io.q, lq=io.lq
@@ -292,7 +337,7 @@ class MappingEngine:
                 ],
                 axis=1,
             )
-            return ev, lo_c, qc_c, qp_c, cnt_c, scalars, hist
+            return lo_c, qc_c, qp_c, cnt_c, scalars, hist
 
         def _stage1(bt, packed_in, hist, hist_off):
             chunks = packed_in[:, :-1]
@@ -311,6 +356,27 @@ class MappingEngine:
         _stage1_jit = jax.jit(_stage1, donate_argnums=(2,))
         self._stage1 = lambda packed_in, hist, hist_off: _stage1_jit(
             self._bt, packed_in, hist, hist_off
+        )
+
+        def _stage1_hy(bt, packed_ev, hist, hist_off):
+            """Hybrid stage1: host-C-detected events arrive in the
+            upload ((B, ne+2): values | n_events | n_dropped); the
+            device does sketch + lookup + history append only. Events
+            never appear in the download (the host already has them)."""
+            ev_values = packed_ev[:, :ne]
+            ev_n = packed_ev[:, ne].astype(jnp.int32)
+            ev_nd = packed_ev[:, ne + 1].astype(jnp.int32)
+            lo_c, qc_c, _qp, _cnt, scalars, hist = _stage1_post(
+                bt, ev_values, ev_n, ev_nd, hist, hist_off
+            )
+            out = stage1_codec.pack_stage1(
+                ev_values, lo_c, qc_c, scalars, include_events=False
+            )
+            return out, hist
+
+        _stage1_hy_jit = jax.jit(_stage1_hy, donate_argnums=(2,))
+        self._stage1_hy = lambda packed_ev, hist, hist_off: _stage1_hy_jit(
+            self._bt, packed_ev, hist, hist_off
         )
 
         # Adaptive stage1 prefix download: _stage1_core's hits-first
@@ -742,7 +808,16 @@ class MappingEngine:
         B = self.batch_size
         L = opt.chunk_size
         SENT = self._SENT
-        packed_in = np.zeros((B, L + 1), dtype=np.float32)
+        ne = opt.max_events_per_chunk
+        hybrid = self._stage1_hybrid
+        if hybrid:
+            # events replace the raw signal in the upload (~8x smaller)
+            packed_in = np.zeros((B, ne + 2), dtype=np.float32)
+            hy_counts = np.zeros(B, dtype=np.int64)
+            hy_dropped = np.zeros(B, dtype=np.int64)
+            from rawalign_tpu.golden import events as gevents
+        else:
+            packed_in = np.zeros((B, L + 1), dtype=np.float32)
         hist_off = np.zeros(B, dtype=np.int32)
         # carried anchors (anchors of chains surviving previous chunks,
         # rmap.cpp:343-362) are gathered NOW: the fused path uploads
@@ -754,8 +829,27 @@ class MappingEngine:
             if st is None:
                 continue
             part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
-            packed_in[i, : part.size] = part
-            packed_in[i, L] = part.size
+            if hybrid:
+                # native C detector — bit-identical to golden's C-double
+                # semantics (revent.c); closes the device f32 event
+                # parity gap (VERDICT r3 item 4)
+                evs = (
+                    gevents.detect_events_fast(part, opt)
+                    if part.size
+                    else np.zeros(0, np.float32)
+                )
+                if evs.size > ne:
+                    hy_dropped[i] = evs.size - ne
+                    evs = evs[:ne]
+                hy_counts[i] = evs.size
+                if evs.size:
+                    st.events = np.concatenate([st.events, evs])
+                    packed_in[i, : evs.size] = evs
+                packed_in[i, ne] = evs.size
+                packed_in[i, ne + 1] = hy_dropped[i]
+            else:
+                packed_in[i, : part.size] = part
+                packed_in[i, L] = part.size
             hist_off[i] = st.ev_total
             if st.chains:
                 prev_seg, prev_t, prev_q = [], [], []
@@ -822,6 +916,8 @@ class MappingEngine:
             stage1_fut, dp_full, hist_new = self._stage1_fused(
                 packed_in, carried_in, hist, hist_off
             )
+        elif hybrid:
+            stage1_fut, hist_new = self._stage1_hy(packed_in, hist, hist_off)
         else:
             stage1_fut, hist_new = self._stage1(packed_in, hist, hist_off)
         self._group_hist[g] = hist_new

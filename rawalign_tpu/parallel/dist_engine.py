@@ -75,6 +75,10 @@ class DistributedMappingEngine(MappingEngine):
         # chain path would serialize the mesh's reads on one host core)
         kw["fused"] = False
         kw["chain_impl"] = "device"
+        # the routed stage1 replaces the single-chip stage1 wholesale
+        # (device event detection inside the sharded dispatch); the
+        # hybrid host-events mode is a single-chip optimization
+        kw["stage1_impl"] = "device"
         super().__init__(index, opt, **kw)
         # the sharded DTW path assembles a replicated event pool on the
         # host, so events stay host-side in distributed mode

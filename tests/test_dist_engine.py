@@ -39,7 +39,12 @@ def setup():
     # add a pure-noise read so the unmapped path crosses the mesh too
     rng = np.random.default_rng(0)
     reads.append(("noise", rng.normal(95, 15, 9000).astype(np.float32)))
-    eng1 = dengine.MappingEngine(idx, mo, batch_size=16)
+    # stage1_impl='device': the distributed engine detects events inside
+    # the sharded dispatch (f32 detector), so the single-chip reference
+    # must use the same detector for PAF equality; the hybrid host-C
+    # event path is a single-chip optimization (its golden parity is
+    # pinned in test_engine_device.py)
+    eng1 = dengine.MappingEngine(idx, mo, batch_size=16, stage1_impl="device")
     ref_lines = sorted(
         _strip_mt(paf.paf_line(r)) for r in eng1.map_reads(iter(reads))
     )

@@ -37,13 +37,18 @@ def setup():
 def test_engine_matches_golden_exactly_with_full_window(setup, use_dtw):
     """With a chaining window covering all anchors, the device pipeline
     replicates the reference semantics end to end: PAF lines must match
-    the golden engine's exactly (modulo the timing tag)."""
+    the golden engine's exactly (modulo the timing tag).
+
+    stage1_impl='device' pins the all-device path (the f32 event
+    detector's sanctioned ulp divergence is tolerated below); the
+    default hybrid path is pinned STRICTLY in
+    test_hybrid_stage1_byte_identical_to_golden."""
     ds, idx, io = setup
     mo = config.MappingOptions()
     config.set_opt("viral", io, mo)
     if use_dtw:
         mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
-    engine = MappingEngine(idx, mo, batch_size=4, chain_window=2048, max_occ=256, max_anchors=2048)
+    engine = MappingEngine(idx, mo, batch_size=4, chain_window=2048, max_occ=256, max_anchors=2048, stage1_impl="device")
     got = {}
     for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
         got[res.read_name] = _strip_time(paf.paf_line(res))
@@ -88,6 +93,33 @@ def test_engine_matches_golden_exactly_with_full_window(setup, use_dtw):
                     assert gv == wv, (r.name, k, gv, wv)
     # exact PAF equality for the large majority
     assert n_same >= int(0.8 * len(ds.reads)), (n_same, diffs[:2])
+
+
+@pytest.mark.parametrize("use_dtw", [False, True])
+def test_hybrid_stage1_byte_identical_to_golden(setup, use_dtw):
+    """The hybrid stage1 (host-C events, bit-identical to golden's
+    C-double semantics, + device sketch/lookup) closes the f32
+    event-detector parity gap: EVERY read's PAF line must equal the
+    golden engine's byte-for-byte (mt stripped) — no tolerance."""
+    from rawalign_tpu import native
+
+    if not (native.available() and native.events_available()):
+        pytest.skip("native host library not built")
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    if use_dtw:
+        mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    engine = MappingEngine(
+        idx, mo, batch_size=4, chain_window=2048, max_occ=256,
+        max_anchors=2048, stage1_impl="hybrid",
+    )
+    got = {}
+    for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
+        got[res.read_name] = _strip_time(paf.paf_line(res))
+    for r in ds.reads:
+        want = _strip_time(paf.paf_line(gengine.map_read(idx, r.signal, r.name, mo)))
+        assert got[r.name] == want, (r.name, want, got[r.name])
 
 
 def test_engine_accuracy_with_default_window(setup):

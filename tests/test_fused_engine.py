@@ -46,7 +46,7 @@ def ds_setup():
 
 def test_fused_matches_unfused(ds_setup):
     idx, mo, reads = ds_setup
-    eng_u = dengine.MappingEngine(idx, mo, batch_size=8, fused=False)
+    eng_u = dengine.MappingEngine(idx, mo, batch_size=8, fused=False, stage1_impl="device")
     lines_u = _paf(eng_u, reads)
     eng_f = dengine.MappingEngine(idx, mo, batch_size=8, fused=True)
     lines_f = _paf(eng_f, reads)
@@ -62,7 +62,7 @@ def test_fused_prefix_refetch(ds_setup):
     """A downloaded prefix narrower than the replayed anchor count must
     trigger the device-resident DP refetch — and still match."""
     idx, mo, reads = ds_setup
-    eng_u = dengine.MappingEngine(idx, mo, batch_size=8, fused=False)
+    eng_u = dengine.MappingEngine(idx, mo, batch_size=8, fused=False, stage1_impl="device")
     lines_u = _paf(eng_u, reads)
     eng_f = dengine.MappingEngine(idx, mo, batch_size=8, fused=True)
     eng_f._fused_p = 64  # force the refetch path
@@ -79,7 +79,7 @@ def test_fused_escalation_path(ds_setup):
     budget)."""
     idx, mo, reads = ds_setup
     eng_u = dengine.MappingEngine(
-        idx, mo, batch_size=8, fused=False, max_anchors=256
+        idx, mo, batch_size=8, fused=False, stage1_impl="device", max_anchors=256
     )
     lines_u = _paf(eng_u, reads)
     eng_f = dengine.MappingEngine(
@@ -96,7 +96,7 @@ def test_fused_over_budget_device_drop(ds_setup):
     exactly, so the PAF still matches the unfused engine."""
     idx, mo, reads = ds_setup
     eng_u = dengine.MappingEngine(
-        idx, mo, batch_size=8, fused=False, max_anchors=512
+        idx, mo, batch_size=8, fused=False, stage1_impl="device", max_anchors=512
     )
     lines_u = _paf(eng_u, reads)
     assert eng_u.counters["anchors_dropped"] > 0  # budget actually hit

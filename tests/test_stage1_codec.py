@@ -101,7 +101,9 @@ def test_stage1_cross_engine_equality():
 
     import jax.numpy as jnp
 
-    eng1 = dengine.MappingEngine(idx, mo, batch_size=B)
+    # device stage1: this test drives the signal-input _stage1 directly
+    # (hybrid's _stage1_hy takes pre-detected events instead)
+    eng1 = dengine.MappingEngine(idx, mo, batch_size=B, stage1_impl="device")
     hist = jnp.zeros((B, eng1._hmax), jnp.float32)
     off = np.zeros(B, np.int32)
     out1, _ = eng1._stage1(packed_in, hist, off)
