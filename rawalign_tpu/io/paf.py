@@ -57,18 +57,36 @@ def anchor_gap_means_f32(anchors) -> tuple[float, float]:
         return float(z), float(z)
     # C subtracts uint32s (wrapping) before the float conversion
     d = (a[:-1, :2].astype(np.int64) - a[1:, :2].astype(np.int64)) & 0xFFFFFFFF
+    nf = np.float32(n)
+    tot = d.sum(axis=0)
+    if d.max() < (1 << 24) and tot.max() < (1 << 24):
+        # deltas non-wrapped and every (monotone) partial sum is an
+        # exact integer in f32 -> the fold never rounds; skip the cumsum
+        return (
+            float(np.float32(tot[0]) / nf),
+            float(np.float32(tot[1]) / nf),
+        )
     sums = np.cumsum(d.astype(np.uint32).astype(np.float32), axis=0,
                      dtype=np.float32)[-1]
-    nf = np.float32(n)
     return float(sums[0] / nf), float(sums[1] / nf)
 
 
+_F32 = np.float32
+
+
 def mean_score_f32(scores) -> float:
-    """sm tag: float32 left-fold of chain scores / n (rmap.cpp:707-711)."""
-    if len(scores) == 0:
+    """sm tag: float32 left-fold of chain scores / n (rmap.cpp:707-711).
+
+    Chain lists are tiny (<= 2*num_best_chains); a scalar np.float32
+    fold beats the array round trip by ~10x at these sizes (this runs
+    per emitted read — engine hot path)."""
+    n = len(scores)
+    if n == 0:
         return 0.0
-    s = np.cumsum(np.asarray(scores, np.float32), dtype=np.float32)[-1]
-    return float(s / np.float32(len(scores)))
+    acc = _F32(0.0)
+    for s in scores:
+        acc = _F32(acc + _F32(s))
+    return float(acc / _F32(n))
 
 
 @dataclasses.dataclass

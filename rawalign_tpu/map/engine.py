@@ -110,9 +110,19 @@ class MappingEngine:
         chain_impl: str = "auto",
         stage1_impl: str = "auto",
     ):
+        import concurrent.futures as _cf
+        import os as _os
+
         from rawalign_tpu import runtime
 
         runtime.enable_compilation_cache()
+        # worker pool for the threaded per-round tail (expansion +
+        # chain DP + traceback are C with the GIL released — running
+        # them off-thread overlaps other pipeline groups' host Python
+        # and the device link waits)
+        self._pool = _cf.ThreadPoolExecutor(
+            max_workers=max(2, min(4, _os.cpu_count() or 2))
+        )
         self.index = index
         self.opt = opt
         self.batch_size = batch_size
@@ -1071,6 +1081,69 @@ class MappingEngine:
         for i, st in enumerate(slots):
             if st is not None:
                 read_offsets[i] = st.offset
+        use_dtw = bool(
+            opt.flag
+            & (MappingFlag.DTW_EVALUATE_CHAINS | MappingFlag.DTW_LOG_SCORES)
+        )
+
+        # Threaded tail: expansion + chain DP + traceback are C (GIL
+        # released) — run them on the worker pool with a yield in
+        # between, so they overlap other pipeline groups' host Python
+        # and device waits (the measured ~1.2 ms/read host tail was the
+        # round-3 throughput ceiling). Excluded when anchors must be
+        # logged (ordering) or a fused/device chain path is active.
+        if (
+            self._chain_native
+            and not use_fused
+            and self._pool is not None
+            and chain_this_round.any()
+            and not (opt.flag
+                     & (MappingFlag.LOG_ANCHORS | MappingFlag.LOG_NUM_ANCHORS))
+        ):
+            from rawalign_tpu import native
+
+            io = self.index.opt
+
+            def _work():
+                _, _, dropped = manchors.expand_round(
+                    h_lo, h_qpos, h_count,
+                    chain_this_round, read_offsets, carried_lists,
+                    self._h_val_id, self._h_val_ps, A,
+                    seg_b, tgt_b, qry_b, n_anch,
+                )
+                scores, preds = native.chain_dp(
+                    seg_b, tgt_b, qry_b, n_anch,
+                    window=self.chain_window,
+                    e=io.e,
+                    max_gap=opt.max_gap_length,
+                    max_target_gap=opt.max_target_gap_length,
+                    max_skips=opt.max_num_skips,
+                )
+                chains_map: dict[int, list[gchain.Chain]] = {}
+                for i in range(B):
+                    if not chain_this_round[i]:
+                        continue
+                    ch = self._chains_from_dp(
+                        seg_b[i], tgt_b[i], qry_b[i], scores[i], preds[i],
+                        int(n_anch[i]), opt,
+                    )
+                    if use_dtw:
+                        ch.sort(key=lambda c: c.chaining_score, reverse=True)
+                    chains_map[i] = ch
+                return dropped, chains_map
+
+            tail_fut = self._pool.submit(_work)
+            mark("host_anchors")
+            yield
+            dropped, per_read_chains = tail_fut.result()
+            self.counters["anchors_dropped"] += dropped
+            mark("chain_dp")
+            yield from self._round_tail_post(
+                slots, g, B, L, per_read_chains, chain_this_round,
+                ev_counts, use_dtw, mark, charge_round,
+            )
+            return
+
         max_used, max_true, dropped = manchors.expand_round(
             h_lo, h_qpos, h_count,
             chain_this_round, read_offsets, carried_lists,
@@ -1189,10 +1262,6 @@ class MappingEngine:
 
         # host traceback + DTW + decisions
         per_read_chains: dict[int, list[gchain.Chain]] = {}
-        use_dtw = bool(
-            opt.flag
-            & (MappingFlag.DTW_EVALUATE_CHAINS | MappingFlag.DTW_LOG_SCORES)
-        )
         for i, st in enumerate(slots):
             if not chain_this_round[i]:
                 continue
@@ -1203,9 +1272,25 @@ class MappingEngine:
             if use_dtw:
                 chains.sort(key=lambda c: c.chaining_score, reverse=True)
             per_read_chains[i] = chains
+        yield from self._round_tail_post(
+            slots, g, B, L, per_read_chains, chain_this_round,
+            ev_counts, use_dtw, mark, charge_round,
+        )
 
+    # ------------------------------------------------------------------
+    def _round_tail_post(
+        self, slots, g, B, L, per_read_chains, chain_this_round,
+        ev_counts, use_dtw, mark, charge_round,
+    ):
+        """DTW tiles -> B&B replay -> primary chains/MAPQ -> decisions:
+        the post-chaining remainder of one round."""
+        opt = self.opt
         all_descs: list[tuple[int, int, int, int, int, int]] = []
-        tile_owner: list[tuple[int, int]] = []
+        # tiles of one chain are appended contiguously: record each
+        # (read, chain)'s [start, end) run instead of a per-tile owner
+        # list (a 30k-entry dict loop showed up in the round profile)
+        tile_runs: dict[tuple[int, int], tuple[int, int]] = {}
+        tile_off = 0
         ev_parts: list[np.ndarray] = []
         ev_off = 0
         Lref = self._ref_cat_host.size
@@ -1234,7 +1319,8 @@ class MappingEngine:
                     )
                     if len(rows):
                         all_descs.append(rows)
-                        tile_owner.extend((i, ci) for _ in range(len(rows)))
+                        tile_runs[(i, ci)] = (tile_off, tile_off + len(rows))
+                        tile_off += len(rows)
         mark("traceback")
 
         if use_dtw and all_descs:
@@ -1264,13 +1350,14 @@ class MappingEngine:
                     da[:, 1] * np.minimum(2 * da[:, 4] + 1, da[:, 3])
                 )
             )
-            cost_map: dict[tuple[int, int], list[float]] = {}
-            for (owner, c) in zip(tile_owner, costs):
-                cost_map.setdefault(owner, []).append(float(c))
+            costs = np.asarray(costs, dtype=np.float32)
+            _empty = np.zeros(0, dtype=np.float32)
             for i in list(per_read_chains):
                 chains = per_read_chains[i]
                 part_costs = [
-                    np.asarray(cost_map.get((i, ci), []), dtype=np.float32)
+                    costs[r[0] : r[1]]
+                    if (r := tile_runs.get((i, ci))) is not None
+                    else _empty
                     for ci in range(len(chains))
                 ]
                 post = postprocess.bnb_replay(chains, part_costs, opt)
