@@ -122,7 +122,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--selfcheck", type=float, default=0.0, metavar="FRAC",
                    help="sanitizer analog: re-map a deterministic FRAC "
                    "sample of reads with the golden host oracle and "
-                   "report any mapping-column divergence (0=off)")
+                   "report any mapping-column divergence (0=off). "
+                   "Capture stops after --selfcheck-max-reads eligible "
+                   "reads (stream order)")
+    p.add_argument("--selfcheck-max-reads", type=int, default=64,
+                   metavar="N",
+                   help="cap on reads captured for --selfcheck (bounds "
+                   "the golden re-map cost; raise for full audits)")
+    p.add_argument("--selfcheck-strict", action="store_true",
+                   help="exit nonzero if --selfcheck finds divergent "
+                   "reads (for CI/automation)")
     return p
 
 
@@ -325,7 +334,10 @@ def main(argv=None) -> int:
     if args.selfcheck > 0.0:
         from rawalign_tpu.selfcheck import SelfCheck
 
-        checker = SelfCheck(idx, mo, fraction=args.selfcheck)
+        checker = SelfCheck(
+            idx, mo, fraction=args.selfcheck,
+            max_reads=args.selfcheck_max_reads,
+        )
 
     def reads():
         from rawalign_tpu.io.prefetch import prefetch_signals
@@ -375,8 +387,10 @@ def main(argv=None) -> int:
         import jax
 
         jax.profiler.stop_trace()
+    selfcheck_failed = False
     if checker is not None:
-        checker.report()
+        rep = checker.report()
+        selfcheck_failed = rep["n_divergent"] > 0
     if out is not sys.stdout:
         out.close()
     # final resource report (main.cpp:389-394)
@@ -403,6 +417,10 @@ def main(argv=None) -> int:
             f"{ts['failures']} hard failures",
             file=sys.stderr,
         )
+    if selfcheck_failed and args.selfcheck_strict:
+        # automation must be able to detect the silent-corruption class
+        # --selfcheck exists to catch without scraping stderr
+        return 7
     return 0
 
 

@@ -13,8 +13,14 @@ cited line-by-line to rmap.cpp:667-822), and diff every mapping column,
 producing a divergence report.
 
 Wired to the CLI as ``--selfcheck FRACTION`` (0 disables; 1 re-checks
-every read). Sampling is by a hash of the read name, so the checked set
-is stable across runs, resume, batch geometry and pipeline depth.
+every eligible read). Sampling is by a hash of the read name, so which
+names are ELIGIBLE is stable across runs, resume, batch geometry and
+pipeline depth; capture stops after ``max_reads`` eligible reads
+(CLI ``--selfcheck-max-reads``, default 64) to bound the golden re-map
+cost, so on long runs the checked set is the first ``max_reads``
+eligible reads in stream order (after a resume, the first in the
+REMAINING stream). Raise the cap (or set it to the read count) for
+full-coverage audits.
 """
 
 from __future__ import annotations
@@ -32,7 +38,7 @@ from rawalign_tpu.io import paf
 # semantics differ from the golden per-read wall time, see
 # tests/test_mt_semantics.py).
 FIELDS = (
-    "mapped",
+    # "mapped" is compared by the early return in diff_results
     "read_length",
     "read_start_position",
     "read_end_position",

@@ -199,3 +199,32 @@ def test_cli_selfcheck(workdir, capsys):
     assert rc == 0
     err = capsys.readouterr().err
     assert "[M::selfcheck] ok:" in err, err
+
+
+def test_cli_selfcheck_strict_exit_code(workdir, capsys, monkeypatch):
+    """--selfcheck-strict turns a divergence report into a nonzero exit
+    so automation can detect silent corruption without scraping stderr
+    (ADVICE r3). The divergence is injected by tampering the golden
+    comparison field set."""
+    from rawalign_tpu.selfcheck import SelfCheck
+
+    d, ds = workdir
+
+    real_report = SelfCheck.report
+
+    def tampered_report(self, stream=None):
+        rep = real_report(self, stream)
+        rep["n_divergent"] = 1  # simulate a diverging read
+        return rep
+
+    monkeypatch.setattr(SelfCheck, "report", tampered_report)
+    args = [
+        "-x", "viral", "--dtw-evaluate-chains",
+        "--selfcheck", "1.0", "--selfcheck-strict",
+        "-o", str(d / "out_sc2.paf"),
+        str(d / "ref.idx.npz"), str(d / "reads.fast5"),
+    ]
+    assert cli.main(args) == 7
+    # without --selfcheck-strict the same report exits 0
+    args.remove("--selfcheck-strict")
+    assert cli.main(args) == 0
