@@ -79,7 +79,8 @@ def test_fused_escalation_path(ds_setup):
     budget)."""
     idx, mo, reads = ds_setup
     eng_u = dengine.MappingEngine(
-        idx, mo, batch_size=8, fused=False, stage1_impl="device", max_anchors=256
+        idx, mo, batch_size=8, fused=False, stage1_impl="device", max_anchors=256,
+        max_anchors_ceiling=256
     )
     lines_u = _paf(eng_u, reads)
     eng_f = dengine.MappingEngine(
@@ -96,7 +97,8 @@ def test_fused_over_budget_device_drop(ds_setup):
     exactly, so the PAF still matches the unfused engine."""
     idx, mo, reads = ds_setup
     eng_u = dengine.MappingEngine(
-        idx, mo, batch_size=8, fused=False, stage1_impl="device", max_anchors=512
+        idx, mo, batch_size=8, fused=False, stage1_impl="device", max_anchors=512,
+        max_anchors_ceiling=512
     )
     lines_u = _paf(eng_u, reads)
     assert eng_u.counters["anchors_dropped"] > 0  # budget actually hit

@@ -257,7 +257,8 @@ def run_scale(genome_kb: int, n_reads: int, flood: bool) -> dict:
         # tiny anchor budget + big occ cap: every round floods the
         # budget, exercising decimation against the uncapped binary
         flood_paf, fc = engine_map(
-            idx_ours, ds, batch_size=64, max_anchors=512, max_occ=256
+            idx_ours, ds, batch_size=64, max_anchors=512,
+            max_anchors_ceiling=512, max_occ=256,
         )
         stf = compare_pafs(ref_paf, flood_paf)
         bmf = max(stf["both_mapped"], 1)
