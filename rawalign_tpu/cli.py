@@ -129,6 +129,14 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="N",
                    help="cap on reads captured for --selfcheck (bounds "
                    "the golden re-map cost; raise for full audits)")
+    p.add_argument("--mt-mode", choices=["share", "wall"], default="share",
+                   help="mt:f tag semantics for the batched engine: "
+                   "'share' = amortized per-read share of each round's "
+                   "wall (batching-fair aggregate metric), 'wall' = "
+                   "strict reference semantics — each read's wall clock "
+                   "across its live rounds (rmap.cpp:684-694; directly "
+                   "comparable to the binary's mt:f, double-counts "
+                   "shared batch cost)")
     p.add_argument("--selfcheck-strict", action="store_true",
                    help="exit nonzero if --selfcheck finds divergent "
                    "reads (for CI/automation)")
@@ -367,6 +375,7 @@ def main(argv=None) -> int:
             pipeline_depth=args.pipeline_depth,
             chain_impl=args.chain_impl,
             stage1_impl=args.stage1_impl,
+            mt_mode=args.mt_mode,
         )
         results = engine.map_reads(reads())
     for res in results:

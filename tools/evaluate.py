@@ -51,7 +51,8 @@ CONFIGS = {
 }
 
 
-def run_one(dataset, preset, extra_args, out_paf, engine="device"):
+def run_one(dataset, preset, extra_args, out_paf, engine="device",
+            mt_mode="share"):
     from rawalign_tpu import cli
 
     ref = os.path.join(dataset, "ref.fa")
@@ -62,8 +63,10 @@ def run_one(dataset, preset, extra_args, out_paf, engine="device"):
         rc = cli.main(["-x", preset, "-p", model, "-d", idx, ref])
         assert rc == 0
     t0 = time.time()
+    mt = ["--mt-mode", mt_mode] if engine == "device" else []
     rc = cli.main(
-        ["-x", preset, "--engine", engine, "-o", out_paf, *extra_args, idx, reads]
+        ["-x", preset, "--engine", engine, "-o", out_paf, *mt,
+         *extra_args, idx, reads]
     )
     assert rc == 0
     return time.time() - t0
@@ -109,6 +112,12 @@ def main() -> int:
     ap.add_argument("--config", default="banded_sparse", choices=CONFIGS)
     ap.add_argument("--engine", default="device", choices=["device", "golden"])
     ap.add_argument(
+        "--mt-mode", default="share", choices=["share", "wall"],
+        help="mt:f semantics for the device engine: 'share' = amortized "
+        "round share, 'wall' = strict per-read wall across live rounds "
+        "(the reference's rmap.cpp:684-694 semantics)",
+    )
+    ap.add_argument(
         "--sweep", choices=["band-radius", "match-bonus", "dtw-min-score"]
     )
     ap.add_argument("--values", type=float, nargs="+")
@@ -145,7 +154,8 @@ def main() -> int:
             out_paf = os.path.join(
                 args.dataset, f"out_{args.sweep}_{v}.paf"
             )
-            wall = run_one(args.dataset, args.preset, extra, out_paf, args.engine)
+            wall = run_one(args.dataset, args.preset, extra, out_paf,
+                           args.engine, args.mt_mode)
             m = compare_evaluate(out_paf, truth)
             m["sweep_value"] = v
             m["wall_s"] = round(wall, 2)
@@ -153,7 +163,8 @@ def main() -> int:
     else:
         out_paf = os.path.join(args.dataset, f"out_{args.config}.paf")
         wall = run_one(
-            args.dataset, args.preset, CONFIGS[args.config], out_paf, args.engine
+            args.dataset, args.preset, CONFIGS[args.config], out_paf,
+            args.engine, args.mt_mode,
         )
         m = compare_evaluate(out_paf, truth)
         m["config"] = args.config
@@ -165,10 +176,18 @@ def main() -> int:
     # round's wall time (engine.py charge_round), not the reference's
     # per-read wall clock (rmap.cpp:684-694) — comparable in aggregate,
     # not read-by-read (tests/test_mt_semantics.py).
-    mt_note = (
-        "mt:f is amortized round share (batched engine), not per-read "
-        "wall time as in the reference; compare aggregates only"
-    )
+    if args.engine == "golden" or args.mt_mode == "wall":
+        mt_note = (
+            "mt:f is per-read wall time across the read's live rounds "
+            "(the reference's rmap.cpp:684-694 semantics; for the "
+            "batched engine this double-counts shared batch cost)"
+        )
+    else:
+        mt_note = (
+            "mt:f is amortized round share (batched engine), not per-read "
+            "wall time as in the reference; compare aggregates only "
+            "(rerun with --mt-mode wall for strict reference semantics)"
+        )
     for r in rows:
         r["mt_semantics"] = mt_note
     if args.json:
