@@ -1,0 +1,157 @@
+"""VBZ (ONT HDF5 filter 32020) codec in NumPy + zstandard.
+
+ONT FAST5 files ship their int16 raw signal compressed with the vbz
+HDF5 filter (nanoporetech/vbz_compression): a 16-bit StreamVByte
+("svb16") pass with delta + zig-zag pre-transforms, wrapped in zstd,
+with the HDF5 plugin's "sized" framing (a 4-byte little-endian original
+byte count prepended). The reference handles this by requiring the
+native plugin at runtime (ensure_hdf5_vbz_plugin.sh + HDF5_PLUGIN_PATH);
+this module instead implements the codec directly so VBZ FAST5s are
+readable (and writable, via HDF5 direct-chunk I/O — io/fast5.py) with no
+plugin installed.
+
+Format implemented (int16, delta+zigzag — the layout ONT signal uses):
+
+  chunk := u32le(original_byte_count) || zstd_frame(svb16_payload)
+  svb16_payload := control_bytes[ceil(n/8)] || data_bytes
+  per value v_i (i ascending):
+      d_i  = v_i - v_{i-1}          (v_{-1} = 0; int16 wraparound)
+      z_i  = zigzag16(d_i) = (d_i << 1) ^ (d_i >> 15)   (as uint16)
+      bit i%8 of control_bytes[i/8] = (z_i > 0xFF)
+      data: 1 byte (z_i) if bit clear, else 2 bytes little-endian
+
+Provenance note: written from the published vbz/svb16 format; validated
+in this repository by encode/decode round-trips and HDF5 direct-chunk
+integration tests (tests/test_vbz.py). This environment has no network
+access to an official-plugin-produced file, so cross-validation against
+the ONT plugin binary output is pending — the layout above is the
+documented one, and the reader is additionally tolerant of a missing
+size header (it falls back to the HDF5 chunk's expected size).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+try:
+    import zstandard
+
+    HAVE_ZSTD = True
+except Exception:  # pragma: no cover
+    HAVE_ZSTD = False
+
+VBZ_FILTER_ID = 32020
+
+
+def _zigzag16(d: np.ndarray) -> np.ndarray:
+    d = d.astype(np.int16)
+    return ((d.astype(np.uint16) << np.uint16(1))
+            ^ (d >> np.int16(15)).astype(np.uint16))
+
+
+def _unzigzag16(z: np.ndarray) -> np.ndarray:
+    z = z.astype(np.uint16)
+    return ((z >> np.uint16(1)) ^ (-(z & np.uint16(1))).astype(np.uint16)).astype(
+        np.int16
+    )
+
+
+def svb16_encode(values: np.ndarray, *, delta: bool = True,
+                 zigzag: bool = True) -> bytes:
+    """16-bit StreamVByte encode (control stream then data stream)."""
+    v = np.asarray(values, dtype=np.int16)
+    n = v.size
+    if delta:
+        d = np.diff(v.astype(np.int16), prepend=np.int16(0)).astype(np.int16)
+    else:
+        d = v
+    z = _zigzag16(d) if zigzag else d.astype(np.uint16)
+    wide = z > 0xFF
+    # control: bit i%8 of byte i//8
+    ctrl = np.zeros((n + 7) // 8, dtype=np.uint8)
+    if n:
+        idx = np.arange(n)
+        np.bitwise_or.at(
+            ctrl, idx >> 3, (wide.astype(np.uint8) << (idx & 7)).astype(np.uint8)
+        )
+    # data: low byte always, high byte only for wide values
+    nbytes = 1 + wide.astype(np.int64)
+    ends = np.cumsum(nbytes)
+    total = int(ends[-1]) if n else 0
+    data = np.zeros(total, dtype=np.uint8)
+    starts = ends - nbytes
+    data[starts] = (z & 0xFF).astype(np.uint8)
+    wi = np.nonzero(wide)[0]
+    data[starts[wi] + 1] = (z[wi] >> 8).astype(np.uint8)
+    return ctrl.tobytes() + data.tobytes()
+
+
+def svb16_decode(payload: bytes, n: int, *, delta: bool = True,
+                 zigzag: bool = True) -> np.ndarray:
+    """Inverse of :func:`svb16_encode` for a known element count."""
+    nc = (n + 7) // 8
+    ctrl = np.frombuffer(payload[:nc], dtype=np.uint8)
+    data = np.frombuffer(payload[nc:], dtype=np.uint8)
+    if n == 0:
+        return np.zeros(0, dtype=np.int16)
+    idx = np.arange(n)
+    wide = (ctrl[idx >> 3] >> (idx & 7)) & 1
+    nbytes = 1 + wide.astype(np.int64)
+    ends = np.cumsum(nbytes)
+    if ends[-1] != data.size:
+        raise ValueError(
+            f"svb16 payload length mismatch: control implies {int(ends[-1])} "
+            f"data bytes, got {data.size}"
+        )
+    starts = ends - nbytes
+    z = data[starts].astype(np.uint16)
+    wi = np.nonzero(wide)[0]
+    z[wi] |= data[starts[wi] + 1].astype(np.uint16) << np.uint16(8)
+    d = _unzigzag16(z) if zigzag else z.astype(np.int16)
+    if delta:
+        return np.cumsum(d.astype(np.int64)).astype(np.int16)
+    return d
+
+
+def compress(values: np.ndarray, *, zstd_level: int = 1) -> bytes:
+    """vbz_compress_sized analog: size header + zstd(svb16(...))."""
+    if not HAVE_ZSTD:  # pragma: no cover
+        raise RuntimeError("zstandard unavailable; cannot vbz-compress")
+    v = np.asarray(values, dtype=np.int16)
+    svb = svb16_encode(v)
+    z = zstandard.ZstdCompressor(level=zstd_level).compress(svb)
+    return struct.pack("<I", v.size * 2) + z
+
+
+def decompress(blob: bytes, n_expected: int | None = None) -> np.ndarray:
+    """Inverse of :func:`compress`.
+
+    ``n_expected`` (element count from the HDF5 chunk shape) is used to
+    cross-check — or, if the size header looks inconsistent, to recover
+    (tolerates plugin variants that omit the sized framing).
+    """
+    if not HAVE_ZSTD:  # pragma: no cover
+        raise RuntimeError("zstandard unavailable; cannot vbz-decompress")
+    dctx = zstandard.ZstdDecompressor()
+    n = None
+    payload = None
+    if len(blob) >= 4:
+        (size,) = struct.unpack("<I", blob[:4])
+        if size % 2 == 0 and (n_expected is None or size == 2 * n_expected):
+            try:
+                payload = dctx.decompress(blob[4:], max_output_size=size * 2 + 8)
+                n = size // 2
+            except zstandard.ZstdError:
+                payload = None
+    if payload is None:
+        # unsized fallback: the whole blob is the zstd frame
+        if n_expected is None:
+            raise ValueError("vbz blob without usable size header needs "
+                             "n_expected")
+        payload = dctx.decompress(
+            blob, max_output_size=4 * n_expected + 16
+        )
+        n = n_expected
+    return svb16_decode(payload, n)
