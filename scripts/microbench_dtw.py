@@ -1,7 +1,10 @@
 """Microbench: fused Pallas DTW kernel throughput on the production tile mix.
 
-Usage: python scripts/microbench_dtw.py [n_tiles] [iters]
-Prints cells/sec and checks results against the golden implementation.
+Usage: python scripts/microbench_dtw.py [n_tiles] [iters] [trials] [--out F]
+Prints per-trial cells/sec (repeated trials expose the tunnel's
+variance — VERDICT r3 item 7 pins this as a per-round artifact), writes
+a JSON record when --out is given, and checks results against the
+golden implementation.
 """
 
 import os
@@ -14,8 +17,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    n_tiles = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_path = None
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        if out_path in args:
+            args.remove(out_path)
+    n_tiles = int(args[0]) if len(args) > 0 else 4096
+    iters = int(args[1]) if len(args) > 1 else 20
+    trials = int(args[2]) if len(args) > 2 else 5
     import jax
 
     from rawalign_tpu import runtime
@@ -63,17 +73,49 @@ def main():
     outs = dtw_pallas.dtw_banded_multi(flat, metas=metas, interpret=interpret)
     jax.block_until_ready(outs)
     print(f"compile+first: {time.perf_counter() - t0:.1f}s  metas={metas}")
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        outs = dtw_pallas.dtw_banded_multi(
-            flat, metas=metas, interpret=interpret
-        )
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / iters
+    # repeated trials: the tunneled link stalls for seconds at a time,
+    # so a single measurement is meaningless — report the distribution
+    # (block_until_ready on axon can return early; a real device_get of
+    # the last output forces completion)
+    gcps = []
+    for _t in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            outs = dtw_pallas.dtw_banded_multi(
+                flat, metas=metas, interpret=interpret
+            )
+        _ = np.asarray(outs[-1][:1])
+        dt = (time.perf_counter() - t0) / iters
+        gcps.append(cells / dt / 1e9)
+        print(f"trial {_t}: t={dt * 1e3:.2f} ms  {gcps[-1]:.2f} Gcells/s")
+    gs = sorted(gcps)
+    med = gs[len(gs) // 2]
     print(
-        f"cells={cells}  t={dt * 1e3:.2f} ms  "
-        f"throughput={cells / dt / 1e9:.2f} Gcells/s"
+        f"cells={cells}  Gcells/s min={gs[0]:.2f} median={med:.2f} "
+        f"max={gs[-1]:.2f}"
     )
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "n_tiles": n_tiles,
+                    "iters": iters,
+                    "trials": trials,
+                    "cells_per_dispatch": cells,
+                    "gcells_per_sec": [round(g, 2) for g in gcps],
+                    "median_gcells_per_sec": round(med, 2),
+                    "max_gcells_per_sec": round(gs[-1], 2),
+                    "note": (
+                        "max is the best observable on the tunneled dev "
+                        "link; median includes tunnel stalls — see "
+                        "PROGRESS.md environment notes"
+                    ),
+                },
+                f,
+                indent=1,
+            )
 
     # correctness vs golden on a sample
     from rawalign_tpu.golden import dtw as gdtw
