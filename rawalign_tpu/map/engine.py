@@ -848,6 +848,7 @@ class MappingEngine:
             packed_in = np.zeros((B, ne + 2), dtype=np.float32)
             hy_counts = np.zeros(B, dtype=np.int64)
             hy_dropped = np.zeros(B, dtype=np.int64)
+            hy_live: list = []
             from rawalign_tpu.golden import events as gevents
         else:
             packed_in = np.zeros((B, L + 1), dtype=np.float32)
@@ -863,23 +864,7 @@ class MappingEngine:
                 continue
             part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
             if hybrid:
-                # native C detector — bit-identical to golden's C-double
-                # semantics (revent.c); closes the device f32 event
-                # parity gap (VERDICT r3 item 4)
-                evs = (
-                    gevents.detect_events_fast(part, opt)
-                    if part.size
-                    else np.zeros(0, np.float32)
-                )
-                if evs.size > ne:
-                    hy_dropped[i] = evs.size - ne
-                    evs = evs[:ne]
-                hy_counts[i] = evs.size
-                if evs.size:
-                    st.events = np.concatenate([st.events, evs])
-                    packed_in[i, : evs.size] = evs
-                packed_in[i, ne] = evs.size
-                packed_in[i, ne + 1] = hy_dropped[i]
+                hy_live.append((i, st, part))
             else:
                 packed_in[i, : part.size] = part
                 packed_in[i, L] = part.size
@@ -898,6 +883,33 @@ class MappingEngine:
                     np.asarray(prev_q, np.int64),
                 )
                 max_car = max(max_car, len(prev_seg))
+        if hybrid and hy_live:
+            # native C detector — bit-identical to golden's C-double
+            # semantics (revent.c); closes the device f32 event parity
+            # gap (VERDICT r3 item 4). C releases the GIL, so the
+            # per-slot detections run on the worker pool (disjoint rows).
+            def _detect(t):
+                i, st, part = t
+                evs = (
+                    gevents.detect_events_fast(part, opt)
+                    if part.size
+                    else np.zeros(0, np.float32)
+                )
+                if evs.size > ne:
+                    hy_dropped[i] = evs.size - ne
+                    evs = evs[:ne]
+                hy_counts[i] = evs.size
+                if evs.size:
+                    st.events = np.concatenate([st.events, evs])
+                    packed_in[i, : evs.size] = evs
+                packed_in[i, ne] = evs.size
+                packed_in[i, ne + 1] = hy_dropped[i]
+
+            if self._pool is not None and len(hy_live) > 1:
+                list(self._pool.map(_detect, hy_live))
+            else:
+                for t in hy_live:
+                    _detect(t)
         mark("build_inputs")
 
         if self._stage1_host:
@@ -1440,12 +1452,11 @@ class MappingEngine:
         ev_counts = np.zeros(B, np.int64)
         ev_dropped = np.zeros(B, np.int64)
         hit_dropped = np.zeros(B, np.int64)
-        for i, st in enumerate(slots):
-            if st is None:
-                continue
+
+        def one(i, st):
             part = st.signal[st.chunk_ptr : st.chunk_ptr + L]
             if part.size == 0:
-                continue
+                return
             evs = gevents.detect_events_fast(part, opt)
             if evs.size > ne:
                 ev_dropped[i] = evs.size - ne
@@ -1454,13 +1465,13 @@ class MappingEngine:
             if evs.size:
                 st.events = np.concatenate([st.events, evs])
             if evs.size < io.e:
-                continue
+                return
             if io.w:
                 h, p = native.sketch_min(evs, io.w, io.e, io.q, io.lq)
             else:
                 h, p = native.sketch_reg(evs, io.e, io.q, io.lq)
             if h.size == 0:
-                continue
+                return
             lo = np.searchsorted(keys, h, side="left")
             hi = np.searchsorted(keys, h, side="right")
             cnt = (hi - lo).astype(np.int64)
@@ -1471,6 +1482,15 @@ class MappingEngine:
             h_lo[i, :m] = lo
             h_qpos[i, :m] = p
             h_count[i, :m] = cnt
+
+        live = [(i, st) for i, st in enumerate(slots) if st is not None]
+        # per-read work is C + numpy (GIL released): split across the
+        # worker pool; rows are disjoint so writes don't race
+        if self._pool is not None and len(live) > 1:
+            list(self._pool.map(lambda t: one(*t), live))
+        else:
+            for i, st in live:
+                one(i, st)
         return h_lo, h_qpos, h_count, ev_counts, ev_dropped, hit_dropped
 
     # ------------------------------------------------------------------
