@@ -765,4 +765,349 @@ void ra_expand_round(
   out_stats[2] = dropped;
 }
 
+// ---------------------------------------------------------------------------
+// Batched round tail (round-4): traceback + chain records + DTW tile
+// descriptors for a whole engine round in ONE call, replacing the
+// per-read Python loop (Chain-object construction was the dominant
+// remaining host cost; VERDICT r3 item 1). Per gated row: run the
+// ra_chains_from_dp candidate selection/traceback, optionally
+// stable-sort the row's chains by chaining score descending (the DTW
+// evaluation order, rmap.cpp:509-512), then emit flat chain records,
+// anchors (end->start order, rmap.cpp:130-173) and per-chain tile
+// descriptor runs (align_chain's sparse parts, rmap.cpp:238-300, or the
+// single global region, rmap.cpp:192-237; identical row layout to
+// postprocess.build_chain_tile_descs_vec).
+// Returns the chain count; out_counts = {n_chains, n_anchors, n_descs}.
+int64_t ra_round_chains(
+    const int32_t* seg_b, const int32_t* tgt_b, const int32_t* qry_b,
+    const float* scores_b, const int32_t* preds_b, const int32_t* n_anch,
+    const uint8_t* gate, int64_t B, int64_t A, double min_chaining_score,
+    int num_best_chains, int min_num_anchors, int disable_filter,
+    int sort_for_dtw, int use_dtw, int border_global, int fill_full,
+    double band_frac, const int64_t* segbase, const int64_t* ev_base,
+    int32_t* ch_read, double* ch_score, int32_t* ch_seg,
+    int32_t* ch_start_t, int32_t* ch_end_t, int32_t* ch_nanch,
+    int64_t* ch_aoff, uint32_t* ch_at, uint32_t* ch_aq, int64_t* ch_doff,
+    int64_t* descs, int64_t* out_counts) {
+  std::vector<int32_t> aidx(A);
+  std::vector<int64_t> coff(A + 1);
+  std::vector<int32_t> eidx(A);
+  std::vector<double> csc(A);
+  std::vector<int64_t> order;
+  int64_t nc_total = 0, na_total = 0, nd_total = 0;
+  ch_aoff[0] = 0;
+  ch_doff[0] = 0;
+  for (int64_t b = 0; b < B; ++b) {
+    if (!gate[b]) continue;
+    const int64_t n = n_anch[b] < A ? n_anch[b] : A;
+    if (n <= 0) continue;
+    const int32_t* seg = seg_b + b * A;
+    const int32_t* tgt = tgt_b + b * A;
+    const int32_t* qry = qry_b + b * A;
+    const int64_t nc = ra_chains_from_dp(
+        seg, tgt, qry, scores_b + b * A, preds_b + b * A, n,
+        min_chaining_score, num_best_chains, min_num_anchors,
+        disable_filter, aidx.data(), coff.data(), eidx.data(), csc.data());
+    if (!nc) continue;
+    order.resize(nc);
+    for (int64_t k = 0; k < nc; ++k) order[k] = k;
+    if (sort_for_dtw) {
+      // the engine's chains.sort(key=chaining_score, reverse=True):
+      // stable descending by score only
+      std::stable_sort(order.begin(), order.end(),
+                       [&](int64_t x, int64_t y) { return csc[x] > csc[y]; });
+    }
+    for (int64_t r = 0; r < nc; ++r) {
+      const int64_t k = order[r];
+      const int64_t a0 = coff[k], a1 = coff[k + 1];
+      const int64_t len = a1 - a0;
+      const int64_t e = aidx[a0];           // end anchor index
+      const int64_t s = aidx[a1 - 1];       // start anchor index
+      ch_read[nc_total] = (int32_t)b;
+      ch_score[nc_total] = csc[k];
+      ch_seg[nc_total] = seg[e];
+      ch_start_t[nc_total] = tgt[s];
+      ch_end_t[nc_total] = tgt[e];
+      ch_nanch[nc_total] = (int32_t)len;
+      for (int64_t j = a0; j < a1; ++j) {
+        ch_at[na_total] = (uint32_t)tgt[aidx[j]];
+        ch_aq[na_total] = (uint32_t)qry[aidx[j]];
+        ++na_total;
+      }
+      ch_aoff[nc_total + 1] = na_total;
+      // DTW tile descriptors for this chain
+      if (use_dtw) {
+        const uint32_t* at = ch_at + ch_aoff[nc_total];
+        const uint32_t* aq = ch_aq + ch_aoff[nc_total];
+        const int64_t rb = segbase[seg[e]];
+        const int64_t eb = ev_base[b];
+        const int64_t parts = border_global ? 1 : len - 1;
+        for (int64_t p = 0; p < parts; ++p) {
+          // sparse part p: sa = anchors[parts-p], ea = anchors[parts-p-1]
+          // (anchors are end->start); global: sa=anchors[len-1], ea=anchors[0]
+          int64_t sa = border_global ? len - 1 : parts - p;
+          int64_t ea = border_global ? 0 : parts - p - 1;
+          const int64_t t0 = at[sa], q0 = aq[sa];
+          const int64_t t1 = at[ea], q1 = aq[ea];
+          const int64_t ql = q1 - q0 + 1;
+          const int64_t tl = t1 - t0 + 1;
+          int64_t radius =
+              fill_full ? (ql > 1 ? ql : 1)
+                        : (int64_t)((double)ql * band_frac);
+          if (radius < 1) radius = 1;
+          const int64_t excl = border_global ? 0 : (p != parts - 1);
+          const bool swap = tl > ql;
+          int64_t* row = descs + nd_total * 6;
+          row[0] = swap ? rb + t0 : eb + q0;
+          row[1] = swap ? tl : ql;
+          row[2] = swap ? eb + q0 : rb + t0;
+          row[3] = swap ? ql : tl;
+          row[4] = radius;
+          row[5] = excl;
+          ++nd_total;
+        }
+      }
+      ch_doff[nc_total + 1] = nd_total;
+      ++nc_total;
+    }
+  }
+  out_counts[0] = nc_total;
+  out_counts[1] = na_total;
+  out_counts[2] = nd_total;
+  return nc_total;
+}
+
+// Round finalize: B&B replay over the DTW part costs
+// (rmap.cpp:243-280,509-530), primary-chain selection (rmap.cpp:90-128),
+// MAPQ (rmap.cpp:65-88), the early-termination decision
+// (rmap.cpp:594-665) and the PAF emit fields incl. the float32 tag
+// accumulations (rmap.cpp:698-729) — per read, matching
+// postprocess.bnb_replay + golden chain.gen_primary_chains/comp_mapq +
+// golden engine.is_mapped_with_high_confidence + MappingEngine._emit
+// bit-for-bit. Carried-anchor outputs feed ra_expand_round next round.
+void ra_round_finalize(
+    const int32_t* ch_read, const double* ch_score, const int32_t* ch_seg,
+    const int32_t* ch_start_t, const int32_t* ch_end_t,
+    const int32_t* ch_nanch, const int64_t* ch_aoff, const uint32_t* ch_at,
+    const uint32_t* ch_aq, const int64_t* ch_doff, int64_t n_chains,
+    int64_t B, const float* costs, int64_t n_costs, int use_dtw,
+    int border_global, double match_bonus, double dtw_min_score,
+    double min_bestmap_ratio, double min_meanmap_ratio, int min_chain_anchor,
+    uint8_t* out_decision, int32_t* out_nc, int32_t* out_seg,
+    int32_t* out_start_t, int32_t* out_end_t, int32_t* out_nanch0,
+    uint32_t* out_q_start, uint32_t* out_q_end, int32_t* out_mapq,
+    double* out_s1, double* out_s2, float* out_sm, float* out_at,
+    float* out_aq, int64_t* car_off, int64_t* car_seg, int64_t* car_t,
+    int64_t* car_q, int64_t* out_total_carried) {
+  (void)n_costs;
+  struct Rec {
+    double cscore;
+    float ascore;
+    int32_t seg, start_t, end_t, nanch;
+    int64_t a0;  // into ch_at/ch_aq
+  };
+  std::vector<Rec> survivors;
+  std::vector<int64_t> primary;
+  int64_t car_total = 0;
+  car_off[0] = 0;
+  int64_t c0 = 0;  // chain cursor
+  for (int64_t b = 0; b < B; ++b) {
+    // rows are contiguous by read (ra_round_chains emits in read order)
+    int64_t c1 = c0;
+    while (c1 < n_chains && ch_read[c1] == (int32_t)b) ++c1;
+    survivors.clear();
+    if (use_dtw) {
+      // B&B replay in chain order (score-desc from ra_round_chains)
+      double best_found = 0.0;
+      for (int64_t c = c0; c < c1; ++c) {
+        const int64_t a0 = ch_aoff[c];
+        const int64_t n_a = ch_nanch[c];
+        const int64_t q_start = ch_aq[a0 + n_a - 1];
+        const int64_t q_end = ch_aq[a0];
+        const int64_t read_size = q_end - q_start + 1;
+        float current_max = (float)((float)read_size * (float)match_bonus);
+        bool abandoned = false;
+        float dtw_cost = 0.0f;
+        int64_t num_aligned = 0;
+        const int64_t d0 = ch_doff[c];
+        const int64_t parts = ch_doff[c + 1] - d0;
+        if (border_global) {
+          if ((double)current_max < best_found) {
+            abandoned = true;
+          } else {
+            dtw_cost = costs[d0];
+            num_aligned = read_size;
+          }
+        } else {
+          // scalar replay of rmap.cpp:243-280: check-before-each-part
+          for (int64_t p = 0; p < parts; ++p) {
+            if ((double)current_max < best_found) {
+              abandoned = true;
+              break;
+            }
+            const float sub = costs[d0 + p];
+            current_max = current_max - sub;
+            dtw_cost = dtw_cost + sub;
+          }
+          if (!abandoned) num_aligned = parts ? read_size - 1 + parts : 0;
+        }
+        if (abandoned) continue;
+        const float ascore =
+            (float)((float)num_aligned * (float)match_bonus) - dtw_cost;
+        if ((double)ascore >= dtw_min_score) {
+          if ((double)ascore > best_found) best_found = (double)ascore;
+          Rec r;
+          r.cscore = ch_score[c];
+          r.ascore = ascore;
+          r.seg = ch_seg[c];
+          r.start_t = ch_start_t[c];
+          r.end_t = ch_end_t[c];
+          r.nanch = ch_nanch[c];
+          r.a0 = ch_aoff[c];
+          survivors.push_back(r);
+        }
+      }
+    } else {
+      for (int64_t c = c0; c < c1; ++c) {
+        Rec r;
+        r.cscore = ch_score[c];
+        r.ascore = 0.0f;
+        r.seg = ch_seg[c];
+        r.start_t = ch_start_t[c];
+        r.end_t = ch_end_t[c];
+        r.nanch = ch_nanch[c];
+        r.a0 = ch_aoff[c];
+        survivors.push_back(r);
+      }
+    }
+    c0 = c1;
+    const int64_t ns = (int64_t)survivors.size();
+    if (!ns) {
+      out_decision[b] = 0;
+      out_nc[b] = 0;
+      car_off[b + 1] = car_total;
+      continue;
+    }
+    // gen_primary_chains: stable sort by the rmap.h:41-45 key tuple,
+    // descending, then greedy overlap filter
+    std::vector<int64_t> ord(ns);
+    for (int64_t i = 0; i < ns; ++i) ord[i] = i;
+    std::stable_sort(ord.begin(), ord.end(), [&](int64_t x, int64_t y) {
+      const Rec &a = survivors[x], &bb = survivors[y];
+      if (a.ascore != bb.ascore) return a.ascore > bb.ascore;
+      if (a.cscore != bb.cscore) return a.cscore > bb.cscore;
+      if (a.nanch != bb.nanch) return a.nanch > bb.nanch;
+      const int as = a.seg & 1, bs = bb.seg & 1;
+      if (as != bs) return as > bs;
+      const int ar = a.seg >> 1, br = bb.seg >> 1;
+      if (ar != br) return ar > br;
+      if (a.start_t != bb.start_t) return a.start_t > bb.start_t;
+      return a.end_t > bb.end_t;
+    });
+    primary.clear();
+    primary.push_back(ord[0]);
+    for (int64_t ci = 1; ci < ns; ++ci) {
+      const Rec& c = survivors[ord[ci]];
+      const Rec& last = survivors[primary.back()];
+      const double ref_score = use_dtw ? (double)last.ascore : last.cscore;
+      const double c_score = use_dtw ? (double)c.ascore : c.cscore;
+      if (c_score < ref_score / 3.0) break;
+      bool is_primary = true;
+      for (int64_t pi : primary) {
+        const Rec& p = survivors[pi];
+        if ((c.seg >> 1) == (p.seg >> 1)) {
+          const int32_t lo =
+              c.start_t > p.start_t ? c.start_t : p.start_t;
+          const int32_t hi = c.end_t < p.end_t ? c.end_t : p.end_t;
+          if (lo <= hi) {
+            is_primary = false;
+            break;
+          }
+        }
+      }
+      if (is_primary) primary.push_back(ord[ci]);
+    }
+    const int64_t np = (int64_t)primary.size();
+    const Rec& b0 = survivors[primary[0]];
+    // comp_mapq (rmap.cpp:65-88)
+    int mapq = 60;
+    if (np > 1) {
+      const Rec& b1 = survivors[primary[1]];
+      const double ratio = use_dtw ? (double)b1.ascore / (double)b0.ascore
+                                   : b1.cscore / b0.cscore;
+      const double v = 40.0 * (1.0 - ratio);
+      mapq = (v != v || v < 0.0) ? 0 : (v > 60.0 ? 60 : (int)v);
+    }
+    // is_mapped_with_high_confidence (rmap.cpp:594-665)
+    bool decided = false;
+    if (b0.nanch > 0) {
+      if (use_dtw) {
+        if (np >= 2) {
+          const Rec& b1 = survivors[primary[1]];
+          if ((double)b0.ascore / (double)b1.ascore >= min_bestmap_ratio) {
+            decided = true;
+          } else {
+            double mean = 0.0;
+            for (int64_t pi : primary) mean += (double)survivors[pi].ascore;
+            mean /= (double)np;
+            if ((double)b0.ascore >= min_meanmap_ratio * mean) decided = true;
+          }
+        } else if (np == 1 && b0.nanch >= min_chain_anchor) {
+          decided = true;
+        }
+      } else {
+        if (np >= 2) {
+          const Rec& b1 = survivors[primary[1]];
+          if (b0.cscore / b1.cscore >= min_bestmap_ratio) {
+            decided = true;
+          } else {
+            double mean = 0.0;
+            for (int64_t pi : primary) mean += survivors[pi].cscore;
+            mean /= (double)np;
+            if (b0.cscore >= min_meanmap_ratio * mean) decided = true;
+          }
+        } else if (np == 1 && b0.nanch >= min_chain_anchor) {
+          decided = true;
+        }
+      }
+    }
+    // emit fields + f32 tag folds (rmap.cpp:707-729)
+    out_decision[b] = decided ? 1 : 0;
+    out_nc[b] = (int32_t)np;
+    out_seg[b] = b0.seg;
+    out_start_t[b] = b0.start_t;
+    out_end_t[b] = b0.end_t;
+    out_nanch0[b] = b0.nanch;
+    out_q_start[b] = ch_aq[b0.a0 + b0.nanch - 1];
+    out_q_end[b] = ch_aq[b0.a0];
+    out_mapq[b] = mapq;
+    out_s1[b] = b0.cscore;
+    out_s2[b] = np > 1 ? survivors[primary[1]].cscore : 0.0;
+    float sm = 0.0f;
+    for (int64_t pi : primary) sm += (float)survivors[pi].cscore;
+    out_sm[b] = sm / (float)np;
+    float at_sum = 0.0f, aq_sum = 0.0f;
+    const uint32_t* at = ch_at + b0.a0;
+    const uint32_t* aq = ch_aq + b0.a0;
+    for (int64_t ai = 0; ai + 1 < b0.nanch; ++ai) {
+      at_sum += (float)(uint32_t)(at[ai] - at[ai + 1]);
+      aq_sum += (float)(uint32_t)(aq[ai] - aq[ai + 1]);
+    }
+    out_at[b] = at_sum / (float)b0.nanch;
+    out_aq[b] = aq_sum / (float)b0.nanch;
+    // carried anchors: every primary chain's anchors, chain order
+    for (int64_t pi : primary) {
+      const Rec& p = survivors[pi];
+      for (int64_t ai = 0; ai < p.nanch; ++ai) {
+        car_seg[car_total] = p.seg;
+        car_t[car_total] = ch_at[p.a0 + ai];
+        car_q[car_total] = ch_aq[p.a0 + ai];
+        ++car_total;
+      }
+    }
+    car_off[b + 1] = car_total;
+  }
+  out_total_carried[0] = car_total;
+}
+
 }  // extern "C"

@@ -106,6 +106,35 @@ def load() -> ctypes.CDLL | None:
             ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             i32arr, i64p, i32arr, f64,
         ]
+    if hasattr(lib, "ra_round_chains"):
+        f64 = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.ra_round_chains.restype = ctypes.c_int64
+        lib.ra_round_chains.argtypes = [
+            # seg, tgt, qry, scores, preds, n_anch, gate, B, A
+            i32arr, i32arr, i32arr, f32, i32arr, i32arr, u8arr,
+            ctypes.c_int64, ctypes.c_int64,
+            # min_chaining_score; num_best, min_num, disable, sort_for_dtw,
+            # use_dtw, border_global, fill_full; band_frac
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double,
+            # segbase, ev_base
+            i64p, i64p,
+            # ch_read, ch_score, ch_seg, ch_start_t, ch_end_t, ch_nanch,
+            # ch_aoff, ch_at, ch_aq, ch_doff, descs, out_counts
+            i32arr, f64, i32arr, i32arr, i32arr, i32arr, i64p, u32, u32,
+            i64p, i64p, i64p,
+        ]
+        lib.ra_round_finalize.restype = None
+        lib.ra_round_finalize.argtypes = [
+            i32arr, f64, i32arr, i32arr, i32arr, i32arr, i64p, u32, u32,
+            i64p, ctypes.c_int64, ctypes.c_int64, f32, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int,
+            u8arr, i32arr, i32arr, i32arr, i32arr, i32arr, u32, u32,
+            i32arr, f64, f64, f32, f32, f32,
+            i64p, i64p, i64p, i64p, i64p,
+        ]
     return lib
 
 
@@ -342,6 +371,109 @@ def chains_from_dp_raw(
     )
     total = int(chain_off[nc]) if nc else 0
     return anchor_idx[:total], chain_off[: nc + 1], end_idx[:nc], score[:nc]
+
+
+def round_tail_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_round_chains")
+
+
+def round_chains(
+    seg, tgt, qry, scores, preds, n_anch, gate, A, *,
+    min_chaining_score, num_best_chains, min_num_anchors, disable_filter,
+    sort_for_dtw, use_dtw, border_global, fill_full, band_frac,
+    segbase, ev_base,
+):
+    """Batched traceback + chain records + DTW tile descriptors for one
+    engine round (ra_round_chains; see the C doc comment). Returns
+    (read, score, seg, start_t, end_t, nanch, aoff, at, aq, doff, descs)
+    trimmed to the actual counts."""
+    lib = load()
+    B = gate.size
+    total = int(n_anch.sum())
+    cap_ch = max(total // max(min_num_anchors, 1) + B, 8)
+    cap_a = max(total, 8)
+    cap_d = max(total + B, 8) if use_dtw else 8
+    ch_read = np.empty(cap_ch, np.int32)
+    ch_score = np.empty(cap_ch, np.float64)
+    ch_seg = np.empty(cap_ch, np.int32)
+    ch_start_t = np.empty(cap_ch, np.int32)
+    ch_end_t = np.empty(cap_ch, np.int32)
+    ch_nanch = np.empty(cap_ch, np.int32)
+    ch_aoff = np.empty(cap_ch + 1, np.int64)
+    ch_at = np.empty(cap_a, np.uint32)
+    ch_aq = np.empty(cap_a, np.uint32)
+    ch_doff = np.empty(cap_ch + 1, np.int64)
+    descs = np.empty((cap_d, 6), np.int64)
+    counts = np.zeros(3, np.int64)
+    nc = lib.ra_round_chains(
+        seg, tgt, qry, scores, preds, n_anch, gate,
+        B, int(A), float(min_chaining_score), int(num_best_chains),
+        int(min_num_anchors), int(disable_filter), int(sort_for_dtw),
+        int(use_dtw), int(border_global), int(fill_full), float(band_frac),
+        segbase, ev_base,
+        ch_read, ch_score, ch_seg, ch_start_t, ch_end_t, ch_nanch,
+        ch_aoff, ch_at, ch_aq, ch_doff, descs.reshape(-1), counts,
+    )
+    nc, na, nd = int(counts[0]), int(counts[1]), int(counts[2])
+    return (
+        ch_read[:nc], ch_score[:nc], ch_seg[:nc], ch_start_t[:nc],
+        ch_end_t[:nc], ch_nanch[:nc], ch_aoff[: nc + 1], ch_at[:na],
+        ch_aq[:na], ch_doff[: nc + 1], descs[:nd],
+    )
+
+
+def round_finalize(
+    rec, B, costs, *,
+    use_dtw, border_global, match_bonus, dtw_min_score,
+    min_bestmap_ratio, min_meanmap_ratio, min_chain_anchor,
+):
+    """Batched B&B replay + primary chains + MAPQ + decision + emit
+    fields + carried anchors (ra_round_finalize). ``rec`` is
+    round_chains' return tuple. Returns a dict of per-read arrays plus
+    (car_off, car_seg, car_t, car_q)."""
+    lib = load()
+    (ch_read, ch_score, ch_seg, ch_start_t, ch_end_t, ch_nanch,
+     ch_aoff, ch_at, ch_aq, ch_doff, descs) = rec
+    n_chains = ch_read.size
+    costs = np.ascontiguousarray(costs, np.float32)
+    dec = np.zeros(B, np.uint8)
+    nc = np.zeros(B, np.int32)
+    seg = np.zeros(B, np.int32)
+    st_t = np.zeros(B, np.int32)
+    en_t = np.zeros(B, np.int32)
+    na0 = np.zeros(B, np.int32)
+    qs = np.zeros(B, np.uint32)
+    qe = np.zeros(B, np.uint32)
+    mapq = np.zeros(B, np.int32)
+    s1 = np.zeros(B, np.float64)
+    s2 = np.zeros(B, np.float64)
+    sm = np.zeros(B, np.float32)
+    at = np.zeros(B, np.float32)
+    aq = np.zeros(B, np.float32)
+    cap_car = max(int(ch_aoff[-1]) if n_chains else 0, 1)
+    car_off = np.zeros(B + 1, np.int64)
+    car_seg = np.empty(cap_car, np.int64)
+    car_t = np.empty(cap_car, np.int64)
+    car_q = np.empty(cap_car, np.int64)
+    tot = np.zeros(1, np.int64)
+    lib.ra_round_finalize(
+        ch_read, ch_score, ch_seg, ch_start_t, ch_end_t, ch_nanch,
+        ch_aoff, ch_at, ch_aq, ch_doff, n_chains, B, costs, costs.size,
+        int(use_dtw), int(border_global), float(match_bonus),
+        float(dtw_min_score), float(min_bestmap_ratio),
+        float(min_meanmap_ratio), int(min_chain_anchor),
+        dec, nc, seg, st_t, en_t, na0, qs, qe, mapq, s1, s2, sm, at, aq,
+        car_off, car_seg, car_t, car_q, tot,
+    )
+    t = int(tot[0])
+    return {
+        "decision": dec, "nc": nc, "seg": seg, "start_t": st_t,
+        "end_t": en_t, "nanch0": na0, "q_start": qs, "q_end": qe,
+        "mapq": mapq, "s1": s1, "s2": s2, "sm": sm, "at": at, "aq": aq,
+        "car_off": car_off, "car_seg": car_seg[:t], "car_t": car_t[:t],
+        "car_q": car_q[:t],
+    }
 
 
 def gen_peaks(

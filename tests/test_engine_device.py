@@ -278,3 +278,34 @@ def test_stage1_prefix_download_matches_full_fetch(setup):
     }
     assert got_tiny == want
     assert eng_tiny.counters["stage1_prefix_refetches"] >= 1
+
+
+@pytest.mark.parametrize("use_dtw", [False, True])
+def test_native_finalize_matches_python_tail(setup, use_dtw):
+    """The batched C round tail (ra_round_chains + ra_round_finalize)
+    must be byte-identical to the Python Chain path it replaces. The
+    Python path is forced by disabling _finalize_native after
+    construction."""
+    from rawalign_tpu import native
+
+    if not native.round_tail_available():
+        pytest.skip("native round tail unavailable")
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    if use_dtw:
+        mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+
+    def run(force_python):
+        eng = MappingEngine(idx, mo, batch_size=4, max_occ=256)
+        if force_python:
+            eng._finalize_native = False
+        return {
+            r.read_name: _strip_time(paf.paf_line(r))
+            for r in eng.map_reads((r.name, r.signal) for r in ds.reads)
+        }
+
+    nat = run(False)
+    py = run(True)
+    for name in py:
+        assert nat[name] == py[name], (name, py[name], nat[name])
