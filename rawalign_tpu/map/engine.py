@@ -250,6 +250,11 @@ class MappingEngine:
             bool(opt.flag & MappingFlag.DTW_OUTPUT_CIGAR)
             or self._stage1_host
         ) and not self._stage1_hybrid
+        # whether the stage1 DOWNLOAD carries event values (device
+        # detector + a host consumer). Hybrid modes never ship events in
+        # the download — the host detected them — even when
+        # _events_on_host is True (the distributed engine's DTW pool)
+        self._s1_dl_events = self._events_on_host
         # seed slots kept after device-side compaction (seeds with hits
         # are sorted first, original order preserved); rounds carry a
         # dropped-hits counter for the (rare) overflow
@@ -1007,7 +1012,7 @@ class MappingEngine:
         use_pref = (
             not use_fused
             and self._s1_hits_first
-            and not self._events_on_host
+            and not self._s1_dl_events
             and P < self._ns_out
         )
         # start the device->host fetch NOW: device_get only issues the
@@ -1089,9 +1094,9 @@ class MappingEngine:
                 packed,
                 ne=opt.max_events_per_chunk,
                 ns=self._ns_out,
-                events_on_host=self._events_on_host,
+                events_on_host=self._s1_dl_events,
             )
-            if self._s1_hits_first and not self._events_on_host:
+            if self._s1_hits_first and not self._s1_dl_events:
                 # keep the adaptive prefix width tracking even on full
                 # fetches, so a one-round spike to ns_out can shrink
                 # back next round
@@ -1120,7 +1125,7 @@ class MappingEngine:
                 continue
             n_ev = int(ev_counts[i])
             st.ev_total += n_ev
-            if n_ev and self._events_on_host:
+            if n_ev and self._s1_dl_events:
                 st.events = np.concatenate([st.events, ev_values[i, :n_ev]])
 
         return (yield from self._round_tail(

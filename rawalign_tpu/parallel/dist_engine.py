@@ -75,14 +75,33 @@ class DistributedMappingEngine(MappingEngine):
         # chain path would serialize the mesh's reads on one host core)
         kw["fused"] = False
         kw["chain_impl"] = "device"
-        # the routed stage1 replaces the single-chip stage1 wholesale
-        # (device event detection inside the sharded dispatch); the
-        # hybrid host-events mode is a single-chip optimization
-        kw["stage1_impl"] = "device"
+        # stage1 placement: 'hybrid' (default when the native lib is
+        # built) detects events in host C — in a multi-host job each
+        # host detects its own read shard's events before the sharded
+        # dispatch — giving the distributed engine the same golden
+        # C-double event parity as the single-chip default; 'device'
+        # keeps the f32 detector inside the shard_map. 'host' is a
+        # single-chip mode and is rejected by the routed build below.
+        s1 = kw.get("stage1_impl", "auto")
+        if s1 == "auto":
+            from rawalign_tpu import native as _nat
+
+            s1 = (
+                "hybrid"
+                if (_nat.available() and _nat.events_available())
+                else "device"
+            )
+        if s1 not in ("device", "hybrid"):
+            raise ValueError(
+                f"distributed stage1_impl must be device|hybrid: {s1}"
+            )
+        kw["stage1_impl"] = s1
         super().__init__(index, opt, **kw)
         # the sharded DTW path assembles a replicated event pool on the
-        # host, so events stay host-side in distributed mode
+        # host, so events stay host-side in distributed mode; the stage1
+        # download carries event values only in device-detector mode
         self._events_on_host = True
+        self._s1_dl_events = s1 == "device"
         # DTW lane group per device: 128 tiles/lane-group on TPU; small
         # in interpret mode (CPU) where lanes are emulated
         self._dtw_tg = 8 if jax.default_backend() == "cpu" else 128
@@ -108,27 +127,39 @@ class DistributedMappingEngine(MappingEngine):
         cut_starts_j = jnp.asarray(cut_starts)  # replicated closure const
         DEAD = jnp.uint32(0xFFFFFFFF)
 
+        hybrid = self._stage1_hybrid
+
         def step(packed_in, ksh, nr, off):
-            # packed_in (b_loc, L+1) — this device's read slice
-            chunks = packed_in[:, :-1]
-            lengths = packed_in[:, -1].astype(jnp.int32)
-            ev = devents.detect_events_batch(
-                chunks,
-                lengths,
-                w1=opt.window_length1,
-                w2=opt.window_length2,
-                threshold1=opt.threshold1,
-                threshold2=opt.threshold2,
-                peak_height=opt.peak_height,
-                max_events=ne,
-            )
+            if hybrid:
+                # packed_in (b_loc, ne+2): host-C-detected events
+                # (values | n_events | n_dropped) — this host's read
+                # shard; golden C-double parity like the single-chip
+                # hybrid stage1
+                ev_values = packed_in[:, :ne]
+                ev_n = packed_in[:, ne].astype(jnp.int32)
+                ev_nd = packed_in[:, ne + 1].astype(jnp.int32)
+            else:
+                # packed_in (b_loc, L+1) — raw signal; f32 detector
+                chunks = packed_in[:, :-1]
+                lengths = packed_in[:, -1].astype(jnp.int32)
+                ev = devents.detect_events_batch(
+                    chunks,
+                    lengths,
+                    w1=opt.window_length1,
+                    w2=opt.window_length2,
+                    threshold1=opt.threshold1,
+                    threshold2=opt.threshold2,
+                    peak_height=opt.peak_height,
+                    max_events=ne,
+                )
+                ev_values, ev_n, ev_nd = ev.values, ev.n_events, ev.n_dropped
             if io.w:
                 seeds = dsketch.sketch_events_min_batch(
-                    ev.values, ev.n_events, w=io.w, e=io.e, q=io.q, lq=io.lq
+                    ev_values, ev_n, w=io.w, e=io.e, q=io.q, lq=io.lq
                 )
             else:
                 seeds = dsketch.sketch_events_batch(
-                    ev.values, ev.n_events, e=io.e, q=io.q, lq=io.lq
+                    ev_values, ev_n, e=io.e, q=io.q, lq=io.lq
                 )
             # device-side seed compaction BEFORE routing (identical to
             # the single-device stage1: permutation sort keeps original
@@ -209,15 +240,15 @@ class DistributedMappingEngine(MappingEngine):
             qc_c = jnp.take_along_axis(qc_c, perm2, axis=1)
             scalars = jnp.stack(
                 [
-                    ev.n_events.astype(jnp.int32),
-                    ev.n_dropped.astype(jnp.int32),
+                    ev_n.astype(jnp.int32),
+                    ev_nd.astype(jnp.int32),
                     n_occ_dropped,
                     n_compact_dropped.astype(jnp.int32),
                 ],
                 axis=1,
             )
             return stage1_codec.pack_stage1(
-                ev.values, lo_c, qc_c, scalars, include_events=True
+                ev_values, lo_c, qc_c, scalars, include_events=not hybrid
             )
 
         f = jax.jit(
@@ -239,11 +270,17 @@ class DistributedMappingEngine(MappingEngine):
         off_d = jax.device_put(offsets, NamedSharding(mesh, P("shard")))
         # same call shape as the single-device stage1; events stay on
         # the host in distributed mode, so the history buffer passes
-        # through untouched
-        self._stage1 = lambda packed_in, hist, hist_off: (
+        # through untouched. The base _round_gen dispatches hybrid
+        # rounds through _stage1_hy, so the routed step overrides
+        # whichever entry matches its input layout.
+        routed = lambda packed_in, hist, hist_off: (
             f(packed_in, ksh_d, nr_d, off_d),
             hist,
         )
+        if hybrid:
+            self._stage1_hy = routed
+        else:
+            self._stage1 = routed
         # the routed stage1 shares the hits-first invariant (above), but
         # distributed mode keeps events on the host, so the prefix
         # download path never engages here (events ride the full fetch)

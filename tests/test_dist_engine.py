@@ -39,12 +39,11 @@ def setup():
     # add a pure-noise read so the unmapped path crosses the mesh too
     rng = np.random.default_rng(0)
     reads.append(("noise", rng.normal(95, 15, 9000).astype(np.float32)))
-    # stage1_impl='device': the distributed engine detects events inside
-    # the sharded dispatch (f32 detector), so the single-chip reference
-    # must use the same detector for PAF equality; the hybrid host-C
-    # event path is a single-chip optimization (its golden parity is
-    # pinned in test_engine_device.py)
-    eng1 = dengine.MappingEngine(idx, mo, batch_size=16, stage1_impl="device")
+    # both engines use the default stage1 (hybrid when the native lib
+    # is built, device otherwise): the distributed engine resolves the
+    # same 'auto' default, so single-chip and mesh runs share detector
+    # semantics and the PAF must be identical
+    eng1 = dengine.MappingEngine(idx, mo, batch_size=16)
     ref_lines = sorted(
         _strip_mt(paf.paf_line(r)) for r in eng1.map_reads(iter(reads))
     )
@@ -162,3 +161,26 @@ def test_routing_matches_global_lookup():
         assert (cnt == cnt_g).all(), (n_data, n_shard)
         sel = cnt_g > 0
         assert (glo[sel] == lo_g[sel]).all(), (n_data, n_shard)
+
+
+def test_dist_engine_stage1_modes(setup):
+    """The distributed engine supports both detectors: 'hybrid' (host-C
+    events per host shard, golden parity) and 'device' (f32 detector in
+    the shard_map). Each must be PAF-identical to the single-chip engine
+    running the SAME detector."""
+    from rawalign_tpu import native
+
+    idx, mo, reads, _ref = setup
+    mesh = pmesh.make_mesh(4, 2)
+    for s1 in (["hybrid"] if native.events_available() else []) + ["device"]:
+        eng1 = dengine.MappingEngine(idx, mo, batch_size=16, stage1_impl=s1)
+        want = sorted(
+            _strip_mt(paf.paf_line(r)) for r in eng1.map_reads(iter(reads))
+        )
+        eng = DistributedMappingEngine(
+            idx, mo, mesh, batch_size=16, stage1_impl=s1
+        )
+        got = sorted(
+            _strip_mt(paf.paf_line(r)) for r in eng.map_reads(iter(reads))
+        )
+        assert got == want, s1
