@@ -85,10 +85,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-reads", type=int)
     # TPU engine knobs
     p.add_argument("--batch-size", type=int, default=32, help="reads per device batch")
-    p.add_argument("--max-occ", type=int, default=64, help="max hits gathered per seed")
+    p.add_argument("--max-occ", type=int, default=4096,
+                   help="per-seed hit-count safety cap (the reference "
+                   "gathers every hit, rmap.cpp:371-391; the default "
+                   "never binds at evaluated genome scales)")
     p.add_argument("--chain-window", type=int, default=64, help="chaining DP predecessor window")
     p.add_argument("--max-anchors", type=int, default=2048,
-                   help="per-read anchor budget (over-budget rounds decimate)")
+                   help="per-read anchor budget for DEVICE chain paths; "
+                   "the native (default) chain path sizes its arrays "
+                   "dynamically and only decimates beyond the 128k "
+                   "ceiling — lossless at evaluated scales")
     p.add_argument("--seeds-out", type=int, default=768,
                    help="compacted seed slots per chunk (device stage output)")
     p.add_argument("--pipeline-depth", type=int, default=4,
