@@ -309,3 +309,29 @@ def test_native_finalize_matches_python_tail(setup, use_dtw):
     py = run(True)
     for name in py:
         assert nat[name] == py[name], (name, py[name], nat[name])
+
+
+def test_hybrid_cigar_byte_identical_to_golden(setup):
+    """CIGAR output (aln:/alns: tags, golden traceback on st.events)
+    must also be byte-identical under the hybrid stage1 default."""
+    from rawalign_tpu import native
+
+    if not (native.available() and native.events_available()):
+        pytest.skip("native host library not built")
+    ds, idx, io = setup
+    mo = config.MappingOptions()
+    config.set_opt("viral", io, mo)
+    mo.set_flag(config.MappingFlag.DTW_EVALUATE_CHAINS)
+    mo.set_flag(config.MappingFlag.DTW_OUTPUT_CIGAR)
+    engine = MappingEngine(
+        idx, mo, batch_size=4, chain_window=2048, max_occ=256,
+        stage1_impl="hybrid",
+    )
+    got = {}
+    for res in engine.map_reads((r.name, r.signal) for r in ds.reads):
+        got[res.read_name] = _strip_time(paf.paf_line(res))
+    for r in ds.reads:
+        want = _strip_time(
+            paf.paf_line(gengine.map_read(idx, r.signal, r.name, mo))
+        )
+        assert got[r.name] == want, (r.name,)
