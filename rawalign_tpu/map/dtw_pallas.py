@@ -61,10 +61,21 @@ def _kernel(
     pinc_ref,  # scratch (1, TG) i32  previous-iteration inc flag
     *,
     dpw: int,
+    unroll: int = 1,
 ):
+    """One grid step = ``unroll`` wavefront iterations.
+
+    The probe in docs/dtw_unroll_probe (round 4) showed the loop is
+    grid-step-overhead bound for the production band widths (iteration
+    wall nearly constant from dpw=64 to dpw=256), so iterations are
+    unrolled in VALUE form: scratch is read once, ``unroll`` iteration
+    bodies chain through registers, scratch is written once. The math
+    per iteration is identical to the unroll=1 form (pure code motion;
+    bit-exactness pinned by the existing device/golden equivalence
+    tests)."""
     H = a_ref.shape[0]
     TG = a_ref.shape[1]
-    it = pl.program_id(1)
+    g = pl.program_id(1)
     n = n_ref[0:1, :]
     m = m_ref[0:1, :]
     lp = lp_ref[0:1, :]
@@ -80,50 +91,33 @@ def _kernel(
     inf_row = jnp.full((1, TG), INF, jnp.float32)
     zero_row = jnp.zeros((1, TG), jnp.float32)
 
-    @pl.when(it == 0)
-    def _init():
-        d00 = d00_ref[0:1, :]
-        dp1_ref[:, :] = jnp.where(slot0_oh & ((n > 0) & (m > 0)), d00, INF)
-        dp0_ref[:, :] = jnp.full((dpw, TG), INF, jnp.float32)
-        bcur_ref[:, :] = b_ref[:, :]
-        acc_ref[:, :] = jnp.zeros((1, TG), jnp.int32)
-        cr_ref[:, :] = jnp.zeros((1, TG), jnp.int32)
-        pinc_ref[:, :] = jnp.zeros((1, TG), jnp.int32)
-        out_ref[:, :] = jnp.min(
-            jnp.where(slot0_oh, dp1_ref[:, :], INF), axis=0, keepdims=True
-        )
+    is_first = oi == 0
+    is_first_s1 = oi == 1
+    is_last_s = oi == (ls - 1)
+    is_last_p = oi == (lp - 1)
 
-    @pl.when(it > 0)
-    def _step():
-        dp0 = dp0_ref[:, :]
-        dp1 = dp1_ref[:, :]
-        previnc = pinc_ref[0:1, :] != 0
+    def shift_left(x):  # out[o] = x[o+1], INF at o = dpw-1
+        return jnp.concatenate([x[1:], inf_row], axis=0)
+
+    def shift_right(x):  # out[o] = x[o-1], INF at o = 0
+        return jnp.concatenate([inf_row, x[:-1]], axis=0)
+
+    def one_iter(it, st):
+        """One wavefront iteration (it >= 1) in value form."""
+        dp0, dp1, bcur, acc, cr, pinc, out = st
+        previnc = pinc != 0
         active = it < n  # (1, TG)
 
-        is_first = oi == 0
-        is_first_s1 = oi == 1
-        is_last_s = oi == (ls - 1)
-        is_last_p = oi == (lp - 1)
-
-        def shift_left(x):  # out[o] = x[o+1], INF at o = dpw-1
-            return jnp.concatenate([x[1:], inf_row], axis=0)
-
-        def shift_right(x):  # out[o] = x[o-1], INF at o = 0
-            return jnp.concatenate([inf_row, x[:-1]], axis=0)
-
         # Bresenham band-center stepping: inc iff floor(it*m/n) advanced
-        acc2 = acc_ref[0:1, :] + m
+        acc2 = acc + m
         incraw = acc2 >= n
-        acc_ref[:, :] = jnp.where(incraw, acc2 - n, acc2)
+        acc = jnp.where(incraw, acc2 - n, acc2)
         incb = incraw & active
-        cr = cr_ref[0:1, :] + incb.astype(jnp.int32)
-        cr_ref[:, :] = cr
+        cr = cr + incb.astype(jnp.int32)
 
         # roll the b window down one sublane where the band advanced
-        bold = bcur_ref[:, :]
-        broll = jnp.concatenate([bold[1:], bold[:1]], axis=0)
-        bcur = jnp.where(incb, broll, bold)
-        bcur_ref[:, :] = bcur
+        broll = jnp.concatenate([bcur[1:], bcur[:1]], axis=0)
+        bcur = jnp.where(incb, broll, bcur)
 
         # anti-diagonal operand values
         av_p = a_ref[pl.ds(H - dpw - it, dpw), :]
@@ -187,16 +181,57 @@ def _kernel(
 
         new_dp0 = jnp.where(active, eff_dp1, dp0)
         new_dp1 = jnp.where(active, pri, dp1)
-        dp0_ref[:, :] = new_dp0
-        dp1_ref[:, :] = new_dp1
 
         tile_res = jnp.min(
             jnp.where(slot0_oh, new_dp1, INF), axis=0, keepdims=True
         )
-        out_ref[:, :] = jnp.where(it == n - 1, tile_res, out_ref[:, :])
-        pinc_ref[:, :] = jnp.where(
-            active, incraw.astype(jnp.int32), pinc_ref[0:1, :]
+        out = jnp.where(it == n - 1, tile_res, out)
+        pinc = jnp.where(active, incraw.astype(jnp.int32), pinc)
+        return (new_dp0, new_dp1, bcur, acc, cr, pinc, out)
+
+    def write_state(st):
+        dp0, dp1, bcur, acc, cr, pinc, out = st
+        dp0_ref[:, :] = dp0
+        dp1_ref[:, :] = dp1
+        bcur_ref[:, :] = bcur
+        acc_ref[:, :] = acc
+        cr_ref[:, :] = cr
+        pinc_ref[:, :] = pinc
+        out_ref[:, :] = out
+
+    @pl.when(g == 0)
+    def _first():
+        d00 = d00_ref[0:1, :]
+        dp1 = jnp.where(slot0_oh & ((n > 0) & (m > 0)), d00, INF)
+        dp0 = jnp.full((dpw, TG), INF, jnp.float32)
+        st = (
+            dp0,
+            dp1,
+            b_ref[:, :],
+            jnp.zeros((1, TG), jnp.int32),
+            jnp.zeros((1, TG), jnp.int32),
+            jnp.zeros((1, TG), jnp.int32),
+            jnp.min(jnp.where(slot0_oh, dp1, INF), axis=0, keepdims=True),
         )
+        for sub in range(1, unroll):
+            st = one_iter(jnp.int32(sub), st)
+        write_state(st)
+
+    @pl.when(g > 0)
+    def _rest():
+        st = (
+            dp0_ref[:, :],
+            dp1_ref[:, :],
+            bcur_ref[:, :],
+            acc_ref[0:1, :],
+            cr_ref[0:1, :],
+            pinc_ref[0:1, :],
+            out_ref[0:1, :],
+        )
+        it0 = g * unroll
+        for sub in range(unroll):
+            st = one_iter(it0 + sub, st)
+        write_state(st)
 
 
 def _dtw_call(
@@ -212,18 +247,40 @@ def _dtw_call(
     max_n: int,
     tg: int = 128,
     interpret: bool = False,
+    unroll: int | None = None,
 ) -> jax.Array:
     """Returns (T,) float32 DTW band costs (before exclude_last)."""
     H, T = a2rev.shape
     assert H == max_n + dpw and T % tg == 0, (H, max_n, dpw, T, tg)
     lb2 = b2t.shape[0]
-    kern = functools.partial(_kernel, dpw=dpw)
+    # wavefront unroll: the sequential grid dimension pays ~2 us/step of
+    # loop overhead regardless of band width (round-4 probe), so narrow
+    # bands run several iterations per grid step; wide bands are
+    # compute-bound and unrolling only raises register pressure
+    if unroll is None:
+        # measured on-chip (interleaved A/B, bit-exact): dpw16 u2 +24%,
+        # dpw64 u2 +22%, dpw128 u4 +27% over u1; very wide bands are
+        # compute-bound and deep unrolls only raise register pressure
+        if dpw <= 64:
+            unroll = 2
+        elif dpw <= 128:
+            unroll = 4
+        elif dpw <= 256:
+            unroll = 2
+        else:
+            unroll = 1
+        if interpret:
+            # interpret mode is the correctness path (CPU tests):
+            # unroll=2 still exercises the multi-iteration body at half
+            # the emulation cost
+            unroll = min(unroll, 2)
+    kern = functools.partial(_kernel, dpw=dpw, unroll=unroll)
     row = lambda shape: pl.BlockSpec(
         shape, lambda i, it: (0, i), memory_space=pltpu.VMEM
     )
     out = pl.pallas_call(
         kern,
-        grid=(T // tg, max_n),
+        grid=(T // tg, -(-max_n // unroll)),
         in_specs=[
             row((H, tg)),
             row((lb2, tg)),
@@ -253,7 +310,7 @@ def _dtw_call(
 
 dtw_banded_batch_pallas = functools.partial(
     jax.jit(
-        _dtw_call, static_argnames=("dpw", "max_n", "tg", "interpret")
+        _dtw_call, static_argnames=("dpw", "max_n", "tg", "interpret", "unroll")
     ),
 )
 
