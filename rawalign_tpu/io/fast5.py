@@ -66,10 +66,26 @@ def _read_vbz_chunks(dset) -> np.ndarray:
     out = np.empty(n, dtype=np.int16)
     chunk = dset.chunks[0] if dset.chunks else n
     did = dset.id
+    # Position of the vbz filter in the dataset's filter pipeline — the
+    # filter_mask from read_direct_chunk sets bit i when pipeline filter i
+    # was SKIPPED for that chunk (H5Z semantics for optional filters).
+    vbz_pos = None
+    try:
+        plist = did.get_create_plist()
+        for i in range(plist.get_nfilters()):
+            if plist.get_filter(i)[0] == _VBZ_FILTER_ID:
+                vbz_pos = i
+                break
+    except Exception:
+        pass
     for start in range(0, n, chunk):
-        _filt, blob = did.read_direct_chunk((start,))
+        filt_mask, blob = did.read_direct_chunk((start,))
         m = min(chunk, n - start)
-        vals = vbz.decompress(bytes(blob), n_expected=m)
+        if vbz_pos is not None and (filt_mask >> vbz_pos) & 1:
+            # vbz was skipped at write time: the chunk stores raw int16.
+            vals = np.frombuffer(bytes(blob), dtype="<i2")
+        else:
+            vals = vbz.decompress(bytes(blob), n_expected=m)
         if vals.size < m:
             raise ValueError(
                 f"vbz chunk at {start} decoded {vals.size} < {m} values"
@@ -112,6 +128,34 @@ def _convert(raw: np.ndarray, dig: float, rng: float, off: float) -> np.ndarray:
     return sig[keep]
 
 
+def _attr_float(attrs, key: str) -> float:
+    """Tolerant attribute-to-float: real ONT files store channel_id
+    attrs as float64, float32, integers, or even strings depending on
+    the writer version.  The reference stringifies every attribute and
+    atof()s it (hdf5_tools get_attr_map + rsig.cpp:201-210), so it
+    accepts all of these; match that tolerance."""
+    v = attrs[key]
+    if isinstance(v, bytes):
+        return float(v.decode())
+    if isinstance(v, str):
+        return float(v)
+    a = np.asarray(v).ravel()
+    if a.size != 1:
+        raise ValueError(f"attribute {key!r} is not scalar: shape {a.shape}")
+    x = a[0]
+    if isinstance(x, bytes):
+        return float(x.decode())
+    return float(x)
+
+
+def _attr_str(attrs, key: str) -> str:
+    v = attrs[key]
+    a = np.asarray(v).ravel()
+    if a.size == 1:
+        v = a[0]
+    return v.decode() if isinstance(v, bytes) else str(v)
+
+
 def read_fast5(path: str) -> Iterator[tuple[str, np.ndarray]]:
     """Yield (read_id, pA_signal) for every read in a FAST5 file."""
     if not HAVE_H5PY:  # pragma: no cover
@@ -119,25 +163,24 @@ def read_fast5(path: str) -> Iterator[tuple[str, np.ndarray]]:
     with h5py.File(path, "r") as f:
         if "Raw" in f:  # single-read layout (rsig.cpp:73-83)
             ch = f["/UniqueGlobalKey/channel_id"].attrs
-            dig = float(ch["digitisation"])
-            rng = float(ch["range"])
-            off = float(ch["offset"])
+            dig = _attr_float(ch, "digitisation")
+            rng = _attr_float(ch, "range")
+            off = _attr_float(ch, "offset")
             for read_name in f["/Raw/Reads"]:
                 grp = f["/Raw/Reads"][read_name]
-                rid = grp.attrs["read_id"]
-                rid = rid.decode() if isinstance(rid, bytes) else str(rid)
+                rid = _attr_str(grp.attrs, "read_id")
                 raw = _read_signal_dataset(grp["Signal"])
                 yield rid, _convert(raw, dig, rng, off)
-        else:  # multi-read layout (rsig.cpp:84-91)
+        else:  # multi-read layout (rsig.cpp:84-91); like the
+            # reference, every top-level group is treated as a read
             for read_name in f:
                 grp = f[read_name]
                 raw_grp = grp["Raw"]
                 ch = grp["channel_id"].attrs
-                dig = float(ch["digitisation"])
-                rng = float(ch["range"])
-                off = float(ch["offset"])
-                rid = raw_grp.attrs["read_id"]
-                rid = rid.decode() if isinstance(rid, bytes) else str(rid)
+                dig = _attr_float(ch, "digitisation")
+                rng = _attr_float(ch, "range")
+                off = _attr_float(ch, "offset")
+                rid = _attr_str(raw_grp.attrs, "read_id")
                 raw = _read_signal_dataset(raw_grp["Signal"])
                 yield rid, _convert(raw, dig, rng, off)
 

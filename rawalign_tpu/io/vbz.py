@@ -139,7 +139,13 @@ def decompress(blob: bytes, n_expected: int | None = None) -> np.ndarray:
     payload = None
     if len(blob) >= 4:
         (size,) = struct.unpack("<I", blob[:4])
-        if size % 2 == 0 and (n_expected is None or size == 2 * n_expected):
+        # HDF5 applies filters to FULL edge chunks (padded with fill), so a
+        # plugin-written file whose signal length is not a multiple of the
+        # chunk size stores a trailing blob with size == 2*chunk_len >
+        # 2*n_expected.  Accept any even size covering n_expected; the
+        # caller truncates (fast5._read_vbz_chunks does vals[:m]).
+        if (size % 2 == 0 and size <= (1 << 26)
+                and (n_expected is None or size >= 2 * n_expected)):
             try:
                 payload = dctx.decompress(blob[4:], max_output_size=size * 2 + 8)
                 n = size // 2

@@ -791,6 +791,26 @@ class MappingEngine:
         }
 
     # ------------------------------------------------------------------
+    def close(self) -> None:
+        """Release the worker pool (idempotent)."""
+        pool, self._pool = self._pool, None
+        if pool is not None:
+            pool.shutdown(wait=False)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
+
+    def __del__(self):  # best-effort fallback for non-context users
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------------
     def map_reads(
         self, reads: Iterable[tuple[str, np.ndarray]]
     ) -> Iterator[paf.MappingResult]:
