@@ -384,20 +384,31 @@ def main(argv=None) -> int:
             mt_mode=args.mt_mode,
         )
         results = engine.map_reads(reads())
+    su_stopped = False
     for res in results:
-        print(paf.paf_line(res), file=out)
+        line = paf.paf_line(res)
+        if su_stopped and res.mapped:
+            # post-stop reads are emitted as forced-unmapped lines that
+            # keep read_length/mapq/tags — the reference's step-3 output
+            # for batch indices >= su_stop (rmap.cpp:960-964; with the
+            # sequence-until preset's 750M mini-batch the whole run is
+            # one batch, so every post-stop read takes this form)
+            cols = line.split("\t")
+            cols[2:11] = ["*"] * 9
+            line = "\t".join(cols)
+        print(line, file=out)
         n_out += 1
         if checker is not None:
             checker.record(res)
-        if su is not None and res.mapped:
+        if su is not None and not su_stopped and res.mapped:
             ref_id = idx.seq_names.index(res.ref_name)
             if su.add_mapped_read(ref_id, res.fragment_length):
+                su_stopped = True
                 print(
                     "[M::map] Sequence Until is activated, stopping "
                     f"sequencing after processing {su.n_reads} mapped reads",
                     file=sys.stderr,
                 )
-                break
     if args.profile:
         import jax
 

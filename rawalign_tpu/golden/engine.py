@@ -102,9 +102,13 @@ def is_mapped_with_high_confidence(state: ReadState, opt: MappingOptions) -> boo
 
 
 def _dtwresult_to_string(res) -> str:
-    """dtwresult_to_string (rmap.cpp:580-592)."""
+    """dtwresult_to_string (rmap.cpp:580-592).
+
+    The reference streams the float through ``std::stringstream <<``,
+    whose default formatting is 6 SIGNIFICANT digits with trailing
+    zeros dropped (printf %g) — not 6 decimal places."""
     return "".join(
-        f"({el.i},{el.j},{el.difference:.6f})" for el in res.alignment
+        f"({el.i},{el.j},{float(el.difference):.6g})" for el in res.alignment
     )
 
 

@@ -57,14 +57,20 @@ class SequenceUntil:
             self.n_reads > self.opt.tmin_reads
             and self.n_reads % self.opt.ttest_freq == 0
         ):
-            self.estimates[self.cur] = (
-                self.counts.astype(np.float64) / max(self.ab_count, 1)
-            ).astype(np.float32)
+            # (float)count / ab_count is a float32 division in the
+            # reference (rmap.cpp:927)
+            self.estimates[self.cur] = self.counts.astype(
+                np.float32
+            ) / np.float32(self.ab_count)
             self.cur += 1
             if self.cur >= self.opt.tn_samples:
                 self.cur = 0
+            # post-increment compare (rmap.cpp:933 `su_nestimations++ >=
+            # tn_samples`): the outlier test first runs on the
+            # (tn_samples+1)-th estimation, not the tn_samples-th
+            n_est_before = self.n_estimations
             self.n_estimations += 1
-            if self.n_estimations >= self.opt.tn_samples:
+            if n_est_before >= self.opt.tn_samples:
                 if find_outlier(self.estimates) <= self.opt.t_threshold:
                     self.stopped = True
         return self.stopped

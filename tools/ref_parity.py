@@ -98,16 +98,20 @@ FPEXACT_BIN = os.path.join(
 )
 
 
-def binary_map(ind: str, sraw: str, bin_path: str = BIN) -> str:
+def binary_map(
+    ind: str, sraw: str, bin_path: str = BIN, cigar: bool = False
+) -> str:
+    cmd = [bin_path, "-x", "sensitive", "--dtw-evaluate-chains"]
+    if cigar:
+        cmd.append("--dtw-output-cigar")
     p = subprocess.run(
-        [bin_path, "-x", "sensitive", "--dtw-evaluate-chains", "-t", "1",
-         ind, sraw],
+        cmd + ["-t", "1", ind, sraw],
         check=True, capture_output=True, text=True,
     )
     return p.stdout
 
 
-def engine_map(idx, ds, **engine_kw) -> tuple[str, dict]:
+def engine_map(idx, ds, cigar: bool = False, **engine_kw) -> tuple[str, dict]:
     from rawalign_tpu import config
     from rawalign_tpu.config import MappingFlag
     from rawalign_tpu.io import paf
@@ -116,6 +120,8 @@ def engine_map(idx, ds, **engine_kw) -> tuple[str, dict]:
     io, mo = config.IndexOptions(), config.MappingOptions()
     config.set_opt("sensitive", io, mo)
     mo.set_flag(MappingFlag.DTW_EVALUATE_CHAINS)
+    if cigar:
+        mo.set_flag(MappingFlag.DTW_OUTPUT_CIGAR)
     eng = MappingEngine(idx, mo, **engine_kw)
     # digitize(): the binary reads int16 DAC round-tripped signals; feed
     # the engine byte-identical inputs or parity is meaningless.
@@ -250,6 +256,27 @@ def run_scale(genome_kb: int, n_reads: int, flood: bool) -> dict:
             "pos_within_tol_frac": round(stfp["pos_within_tol"] / bmfp, 4),
             "byte_identical_frac": round(
                 stfp["byte_identical"] / max(stfp["reads"], 1), 4
+            ),
+        }
+
+    # bar 3c: CIGAR path (--dtw-output-cigar) — the aln:s event-to-base
+    # emission (rmap.cpp:715-717,741-744,782-790 + DTW_global_tb
+    # rebasing rmap.cpp:218-235,282-291) byte-compared vs the fpexact
+    # binary. VERDICT r4 item 2.
+    if os.path.exists(FPEXACT_BIN):
+        ind_fp = os.path.join(data, "ref_fpexact.ind")
+        ref_paf_cig = binary_map(ind_fp, sraw, FPEXACT_BIN, cigar=True)
+        our_paf_cig, _ = engine_map(idx_ours, ds, batch_size=64, cigar=True)
+        stc = compare_pafs(ref_paf_cig, our_paf_cig)
+        bmc = max(stc["both_mapped"], 1)
+        out["cigar_vs_fpexact_binary"] = {
+            **stc,
+            "mapped_agree_frac": round(
+                stc["mapped_agree"] / max(stc["reads"], 1), 4
+            ),
+            "pos_within_tol_frac": round(stc["pos_within_tol"] / bmc, 4),
+            "byte_identical_frac": round(
+                stc["byte_identical"] / max(stc["reads"], 1), 4
             ),
         }
 
