@@ -1170,11 +1170,15 @@ class MappingEngine:
         # — one batched pass for the whole round (map/anchors.py; the
         # occ-ranked over-budget drop is documented there)
         A = self.max_anchors
-        if self._chain_native and not use_fused and chain_this_round.any():
-            # lossless sizing: the host C chain DP takes any width, so
-            # grow A to the round's true anchor demand (hits + carried)
-            # instead of decimating — fixed shapes only bind the device
-            # chain path
+        if not use_fused and chain_this_round.any():
+            # lossless sizing: grow A to the round's true anchor demand
+            # (hits + carried) instead of decimating. The host C chain
+            # DP takes any width; the DEVICE chain path escalates to the
+            # next power-of-two width class (a_round below), compiling
+            # one extra kernel variant per class — the same
+            # escalate-not-decimate policy tiles.py uses for DTW shapes,
+            # so the device/distributed engine matches the reference's
+            # uncapped hit appending (rmap.cpp:371-391) too.
             need = h_count.sum(axis=1, dtype=np.int64)
             for ci_, cl in carried_lists.items():
                 need[ci_] += cl[0].size

@@ -134,3 +134,41 @@ def test_default_caps_lossless_on_tandem_repeats(tandem):
     assert counters["seed_hits_dropped"] == 0
     assert counters["anchors_dropped"] == 0
     assert n_correct == len(ds.reads)
+
+
+def _paf(ds, idx, mo, **kw):
+    import re
+
+    from rawalign_tpu.io import paf
+
+    eng = MappingEngine(idx, mo, batch_size=8, **kw)
+    lines = [
+        re.sub(r"\tmt:f:[^\t\n]*", "", paf.paf_line(r))
+        for r in eng.map_reads((r.name, r.signal) for r in ds.reads)
+    ]
+    return lines, dict(eng.counters)
+
+
+def test_device_chain_path_lossless(tandem):
+    """VERDICT r4 #3: the DEVICE chain path escalates its fixed anchor
+    shapes to the round's true demand (next pow2 class) instead of
+    decimating — with a flooded budget (max_anchors far below the
+    round's hits) it must drop 0 anchors and emit the same PAF as the
+    lossless native chain path."""
+    ds, idx, mo = tandem
+    nat, cn = _paf(ds, idx, mo, max_occ=256, max_anchors=256,
+                   chain_impl="native")
+    dev, cd = _paf(ds, idx, mo, max_occ=256, max_anchors=256,
+                   chain_impl="device")
+    assert cn["anchors_dropped"] == 0
+    assert cd["anchors_dropped"] == 0
+    assert dev == nat
+
+
+def test_device_chain_ceiling_still_caps(tandem):
+    """The escalation honors max_anchors_ceiling: forcing a low ceiling
+    reinstates decimation (the safety valve still works)."""
+    ds, idx, mo = tandem
+    _, cd = _paf(ds, idx, mo, max_occ=256, max_anchors=512,
+                 max_anchors_ceiling=512, chain_impl="device")
+    assert cd["anchors_dropped"] > 0
