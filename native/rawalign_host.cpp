@@ -47,6 +47,25 @@ inline uint32_t quantize(float v, int q, int lq) {
 
 extern "C" {
 
+// Sequential double left-fold of sum(v) and sum(v*v) over float values —
+// the reference's per-sequence z-norm accumulation (rsig.cpp:12,28-35:
+// `sum += curval; sum2 += curval*curval;` with double accumulators).
+// NumPy's pairwise summation rounds differently in the low bits, which
+// shifts mean/stddev by ~1 ulp and flips a handful of normalized float32
+// signal values per megabase — invisible in mapping decisions but visible
+// in the --dtw-output-cigar per-element difference column.
+void ra_znorm_sums(const float* v, int64_t n, double* out_sum,
+                   double* out_sum2) {
+  double s = 0.0, s2 = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    const double c = (double)v[i];
+    s += c;
+    s2 += c * c;
+  }
+  *out_sum = s;
+  *out_sum2 = s2;
+}
+
 // Plain-mode sketch: emits one seed per kept event once e events are
 // packed. Outputs hash (32-bit) and event index arrays; returns the seed
 // count. Output buffers must hold at least n entries.

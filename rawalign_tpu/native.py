@@ -74,6 +74,12 @@ def load() -> ctypes.CDLL | None:
         f32, ctypes.c_int64, f32, ctypes.c_int64,
         i32arr, f32, ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "ra_znorm_sums"):
+        lib.ra_znorm_sums.restype = None
+        lib.ra_znorm_sums.argtypes = [
+            f32, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
     if hasattr(lib, "ra_chain_dp"):
         lib.ra_chain_dp.restype = None
         lib.ra_chain_dp.argtypes = [
@@ -140,6 +146,23 @@ def load() -> ctypes.CDLL | None:
 
 def available() -> bool:
     return load() is not None
+
+
+def znorm_sums_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_znorm_sums")
+
+
+def znorm_sums(values: np.ndarray) -> tuple[float, float]:
+    """(sum, sum_of_squares) as the reference's sequential double
+    left-fold (rsig.cpp:28-35) — order-exact, unlike np.sum's pairwise
+    accumulation."""
+    lib = load()
+    values = np.ascontiguousarray(values, dtype=np.float32)
+    s = ctypes.c_double()
+    s2 = ctypes.c_double()
+    lib.ra_znorm_sums(values, values.size, ctypes.byref(s), ctypes.byref(s2))
+    return s.value, s2.value
 
 
 def sketch_reg(values: np.ndarray, e: int, q: int, lq: int):

@@ -115,3 +115,42 @@ def test_seq_to_sig_matches_naive_loop():
         np.testing.assert_array_equal(
             seq2sig.seq_to_sig(codes, pore_vals, k, strand), naive(seq, strand)
         )
+
+
+def test_seq_to_sig_znorm_is_sequential_left_fold():
+    """The z-norm accumulators must fold SEQUENTIALLY in double, as the
+    reference does (rsig.cpp:28-35) — np.sum's pairwise summation
+    differs in the low bits and flips ~1-ulp normalized values per
+    megabase, which round-5's CIGAR byte-comparison against the binary
+    exposed (the per-element `difference` column). Pinned against an
+    explicit Python left-fold on a sequence long enough that pairwise
+    and sequential sums genuinely differ."""
+    from rawalign_tpu import native
+
+    if not native.znorm_sums_available():
+        pytest.skip("native ra_znorm_sums required for order-exactness")
+    rng = np.random.default_rng(5)
+    k = 6
+    pore_vals = rng.uniform(60, 130, size=4**k).astype(np.float32)
+    seq = "".join(rng.choice(list("ACGT"), size=200_001))
+    codes = seq2sig.seq_to_codes(seq)
+    out = seq2sig.seq_to_sig(codes, pore_vals, k, 0)
+
+    # independent sequential fold over the same value stream
+    eff = np.where(codes < 4, codes, 0).astype(np.int64)
+    kmers = np.zeros(codes.size - k + 1, dtype=np.int64)
+    for j in range(k):
+        kmers <<= 2
+        kmers |= eff[j : codes.size - k + 1 + j]
+    vals = pore_vals[kmers].astype(np.float32)
+    s = s2 = 0.0
+    for x in vals.tolist():
+        s += x
+        s2 += x * x
+    # pairwise and sequential must actually disagree here, else the
+    # test proves nothing
+    assert s2 != float(np.sum(vals.astype(np.float64) ** 2))
+    m = np.float64(s) / vals.size
+    std = np.sqrt(np.float64(s2) / vals.size - m * m)
+    expect = ((vals - m) / std).astype(np.float32)
+    np.testing.assert_array_equal(out, expect)
