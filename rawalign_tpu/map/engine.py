@@ -525,13 +525,21 @@ class MappingEngine:
         # the fused kernel on real hardware; the XLA scan on CPU (it is
         # the bit-equivalent reference — interpret-mode Pallas would run
         # the grid step-by-step in Python)
+        scan_chain_fn = functools.partial(
+            dchain.chain_dp_batch,
+            window=chain_window,
+            e=io.e,
+            max_gap=opt.max_gap_length,
+            max_target_gap=opt.max_target_gap_length,
+            max_skips=opt.max_num_skips,
+        )
         if (
             os.environ.get("RAWALIGN_TPU_CHAIN_IMPL", "pallas") == "pallas"
             and jax.default_backend() != "cpu"
         ):
             from rawalign_tpu.map import chain_pallas
 
-            chain_fn = functools.partial(
+            pallas_chain_fn = functools.partial(
                 chain_pallas.chain_dp_batch_pallas,
                 window=chain_window,
                 e=io.e,
@@ -539,15 +547,18 @@ class MappingEngine:
                 max_target_gap=opt.max_target_gap_length,
                 max_skips=opt.max_num_skips,
             )
+
+            def chain_fn(seg, tgt, qry, n, *a, **kw):
+                # the Pallas kernel keeps the (A, 128) anchor panels +
+                # score scratch in VMEM; beyond ~8k anchors (the
+                # lossless escalation at 50Mb-scale multiplicities) that
+                # exceeds VMEM, so wide rounds run the bit-equivalent
+                # HBM-streamed XLA scan instead
+                if seg.shape[1] > 8192:
+                    return scan_chain_fn(seg, tgt, qry, n, *a, **kw)
+                return pallas_chain_fn(seg, tgt, qry, n, *a, **kw)
         else:
-            chain_fn = functools.partial(
-                dchain.chain_dp_batch,
-                window=chain_window,
-                e=io.e,
-                max_gap=opt.max_gap_length,
-                max_target_gap=opt.max_target_gap_length,
-                max_skips=opt.max_num_skips,
-            )
+            chain_fn = scan_chain_fn
         self._chain_fn = chain_fn  # overridable hook (distributed engine)
 
         @jax.jit
@@ -773,6 +784,8 @@ class MappingEngine:
             "reads_processed": 0,
             "dtw_tiles": 0,
             "dtw_cells": 0,
+            "dtw_tiles_device": 0,
+            "dtw_tiles_host_large": 0,
             "fused_escalations": 0,
             "fused_refetches": 0,
             "stage1_prefix_refetches": 0,
@@ -1687,6 +1700,16 @@ class MappingEngine:
     ):
         """Dispatch one round's DTW tile descriptors (overridable hook:
         the distributed engine shards the tile axis over its mesh)."""
+        pend = self._dtw_submit_inner(
+            da, ev_cat, ev_dev=ev_dev, ev_fetch=ev_fetch
+        )
+        self.counters["dtw_tiles_device"] += len(pend.small_idx)
+        self.counters["dtw_tiles_host_large"] += len(pend.large_idx)
+        return pend
+
+    def _dtw_submit_inner(
+        self, da: np.ndarray, ev_cat: np.ndarray, *, ev_dev=None, ev_fetch=None
+    ):
         return tiles.dtw_submit_indexed(
             da[:, 0].astype(np.int32),
             da[:, 1].astype(np.int32),

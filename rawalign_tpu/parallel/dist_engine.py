@@ -319,7 +319,7 @@ class DistributedMappingEngine(MappingEngine):
         )
 
     # ------------------------------------------------------------------
-    def _dtw_submit(
+    def _dtw_submit_inner(
         self, da: np.ndarray, ev_cat: np.ndarray, *, ev_dev=None, ev_fetch=None
     ):
         # distributed mode always assembles the replicated host event

@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CONFIGS = {
     "base": dict(batch_size=32, pipeline_depth=8),
     "dev": dict(batch_size=32, pipeline_depth=8, chain_impl="device"),
+    "host": dict(batch_size=32, pipeline_depth=8, stage1_impl="host"),
+    "host64": dict(batch_size=64, pipeline_depth=4, stage1_impl="host"),
+    "host16": dict(batch_size=16, pipeline_depth=16, stage1_impl="host"),
     "fused": dict(batch_size=32, pipeline_depth=8, fused=True),
     "depth4": dict(batch_size=32, pipeline_depth=4),
     "depth12": dict(batch_size=32, pipeline_depth=12),
