@@ -131,10 +131,15 @@ def bench_dtw_device(pairs, iters=100):
     by_class = {}
     for p in pairs:
         n = max(p[0].size, p[1].size)
+        m = min(p[0].size, p[1].size)
         c = 32
         while c < n:
             c *= 2
-        by_class.setdefault(c, []).append(p)
+        # R-parity sub-split: parity-uniform batches run the
+        # plm_static-specialized kernel (tiles.py production bucketing)
+        n1 = max(n, 1)
+        R = p[2] + ((n1 - m) * p[2] + n1 - 1) // n1
+        by_class.setdefault((c, R % 2 == 0), []).append(p)
     flat = []
     metas = []
     cells = 0
@@ -151,7 +156,7 @@ def bench_dtw_device(pairs, iters=100):
         )
         args, _corr = tiles.pallas_inputs(batch)
         flat.extend(jax.device_put(x) for x in args)
-        metas.append((batch.dpw, batch.max_n))
+        metas.append((batch.dpw, batch.max_n, bool(c[1])))
     flat = tuple(flat)
     metas = tuple(metas)
     outs = dtw_pallas.dtw_banded_multi(flat, metas=metas, interpret=interpret)

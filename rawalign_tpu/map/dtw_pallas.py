@@ -62,6 +62,7 @@ def _kernel(
     *,
     dpw: int,
     unroll: int = 1,
+    plm_static: bool | None = None,
 ):
     """One grid step = ``unroll`` wavefront iterations.
 
@@ -82,10 +83,21 @@ def _kernel(
     ls = ls_ref[0:1, :]
     half_lp = lp >> 1
     half_ls = ls >> 1
-    plm = lp > ls  # (1, TG); True iff R even ("primary larger")
+    # True iff R even ("primary larger"). Per-tile CONSTANT for the
+    # whole wavefront — when the host buckets tiles by R parity
+    # (tiles.py size classes carry it), plm_static folds the ~8
+    # plm-selects per iteration away at trace time.
+    if plm_static is None:
+        plm = lp > ls  # (1, TG) mixed-parity batch
+    else:
+        plm = jnp.full((1, TG), plm_static, jnp.bool_)
+    def sel_plm(a, b):
+        if plm_static is None:
+            return jnp.where(plm, a, b)
+        return a if plm_static else b
 
     oi = jax.lax.broadcasted_iota(jnp.int32, (dpw, TG), 0)
-    slot0 = jnp.where(plm, half_lp, half_lp + 1)
+    slot0 = sel_plm(half_lp, half_lp + 1)
     slot0_oh = oi == slot0
 
     inf_row = jnp.full((1, TG), INF, jnp.float32)
@@ -122,10 +134,10 @@ def _kernel(
         # anti-diagonal operand values
         av_p = a_ref[pl.ds(H - dpw - it, dpw), :]
         av_p_roll = jnp.concatenate([av_p[1:], zero_row], axis=0)
-        av_s = jnp.where(plm, av_p_roll, av_p)
+        av_s = sel_plm(av_p_roll, av_p)
         bv_base = bcur[0:dpw]
         bv_p = bcur[1 : dpw + 1]
-        bv_s = jnp.where(plm, bv_p, bv_base)
+        bv_s = sel_plm(bv_p, bv_base)
         c_s = jnp.abs(av_s - bv_s)
         cost_p = jnp.abs(av_p - bv_p)
 
@@ -144,14 +156,14 @@ def _kernel(
         # express the shifted mask via a shifted iota (Mosaic cannot
         # concatenate or select i1 vectors)
         cost_p_s1 = jnp.concatenate([zero_row, cost_p[:-1]], axis=0)
-        c_p = jnp.where(plm, cost_p, cost_p_s1)
-        oip = jnp.where(plm, oi, oi - 1)  # -1 row is auto out-of-range
+        c_p = sel_plm(cost_p, cost_p_s1)
+        oip = sel_plm(oi, oi - 1)  # -1 row is auto out-of-range
         r_pe = (oip >= o0p) & (oip < o1p)
 
         # ---- secondary anti-diagonal (dtw.cpp:361-414)
-        sec_top = jnp.where(plm | ~is_first, dp1, INF)
-        sec_topleft = jnp.where(plm | ~(is_first & ~previnc), dp0, INF)
-        sec_left = jnp.where(plm | ~is_last_s, shift_left(dp1), INF)
+        sec_top = (dp1 if plm_static else jnp.where(is_first, INF, dp1)) if plm_static is not None else jnp.where(plm | ~is_first, dp1, INF)
+        sec_topleft = (dp0 if plm_static else jnp.where(is_first & ~previnc, INF, dp0)) if plm_static is not None else jnp.where(plm | ~(is_first & ~previnc), dp0, INF)
+        sec_left = (shift_left(dp1) if plm_static else jnp.where(is_last_s, INF, shift_left(dp1))) if plm_static is not None else jnp.where(plm | ~is_last_s, shift_left(dp1), INF)
         sec = jnp.minimum(jnp.minimum(sec_top, sec_left), sec_topleft) + c_s
         sec = jnp.where(r_s, sec, INF)
 
@@ -173,9 +185,9 @@ def _kernel(
             incb, eff_dp0, jnp.where(is_first_s1 & ~previnc, INF, eff_dp0_r)
         )
         sp_left = eff_dp1
-        top = jnp.where(plm, pl_top, sp_top)
-        topleft = jnp.where(plm, pl_topleft, sp_topleft)
-        left = jnp.where(plm, pl_left, sp_left)
+        top = sel_plm(pl_top, sp_top)
+        topleft = sel_plm(pl_topleft, sp_topleft)
+        left = sel_plm(pl_left, sp_left)
         pri = jnp.minimum(jnp.minimum(top, left), topleft) + c_p
         pri = jnp.where(r_pe, pri, INF)
 
@@ -248,6 +260,7 @@ def _dtw_call(
     tg: int = 128,
     interpret: bool = False,
     unroll: int | None = None,
+    plm_static: bool | None = None,
 ) -> jax.Array:
     """Returns (T,) float32 DTW band costs (before exclude_last)."""
     H, T = a2rev.shape
@@ -274,7 +287,8 @@ def _dtw_call(
             # unroll=2 still exercises the multi-iteration body at half
             # the emulation cost
             unroll = min(unroll, 2)
-    kern = functools.partial(_kernel, dpw=dpw, unroll=unroll)
+    kern = functools.partial(_kernel, dpw=dpw, unroll=unroll,
+                             plm_static=plm_static)
     row = lambda shape: pl.BlockSpec(
         shape, lambda i, it: (0, i), memory_space=pltpu.VMEM
     )
@@ -310,7 +324,10 @@ def _dtw_call(
 
 dtw_banded_batch_pallas = functools.partial(
     jax.jit(
-        _dtw_call, static_argnames=("dpw", "max_n", "tg", "interpret", "unroll")
+        _dtw_call,
+        static_argnames=(
+            "dpw", "max_n", "tg", "interpret", "unroll", "plm_static"
+        ),
     ),
 )
 
@@ -404,14 +421,17 @@ def dtw_banded_multi_indexed(
     ints = jax.lax.bitcast_convert_type(blob[lev:], jnp.int32)
     outs = []
     off = 0
-    for dpw, max_n, lb2, tp in metas:
+    for meta in metas:
+        dpw, max_n, lb2, tp = meta[:4]
+        plm = meta[4] if len(meta) > 4 else None
         d = jax.lax.dynamic_slice_in_dim(ints, off, 9 * tp).reshape(9, tp)
         off += 9 * tp
         args, corr = _panels_from_descs(
             src, d, dpw=dpw, max_n=max_n, lb2=lb2
         )
         cost = _dtw_call(
-            *args, dpw=dpw, max_n=max_n, tg=tg, interpret=interpret
+            *args, dpw=dpw, max_n=max_n, tg=tg, interpret=interpret,
+            plm_static=plm,
         )
         outs.append(cost - corr)
     return jnp.concatenate(outs)
@@ -450,7 +470,9 @@ def dtw_banded_multi_indexed_sharded(
         def local(ref_cat, ev_pool, *dd):
             src = jnp.concatenate([ref_cat, ev_pool])
             outs = []
-            for d, (dpw, max_n, lb2, _tp) in zip(dd, metas):
+            for d, meta in zip(dd, metas):
+                dpw, max_n, lb2, _tp = meta[:4]
+                plm = meta[4] if len(meta) > 4 else None
                 args, corr = _panels_from_descs(
                     src, d, dpw=dpw, max_n=max_n, lb2=lb2
                 )
@@ -461,6 +483,7 @@ def dtw_banded_multi_indexed_sharded(
                         max_n=max_n,
                         tg=tg,
                         interpret=interpret,
+                        plm_static=plm,
                     )
                     - corr
                 )
@@ -494,7 +517,9 @@ def dtw_banded_multi(
     round submits all its class batches through this single entry."""
     outs = []
     i = 0
-    for dpw, max_n in metas:
+    for meta in metas:
+        dpw, max_n = meta[:2]
+        plm = meta[2] if len(meta) > 2 else None
         outs.append(
             _dtw_call(
                 *flat_args[i : i + 7],
@@ -502,6 +527,7 @@ def dtw_banded_multi(
                 max_n=max_n,
                 tg=tg,
                 interpret=interpret,
+                plm_static=plm,
             )
         )
         i += 7

@@ -201,10 +201,14 @@ def dtw_submit(
         # sub-bucket by pow2 size class so mixed batches do not all pad
         # to the global maximum (and so the set of compiled kernel
         # shapes stays small and stable)
-        by_class: dict[int, list[int]] = {}
+        by_class: dict[tuple, list[int]] = {}
         for pos, i in enumerate(small_idx):
             n = max(pairs[i][0].size, pairs[i][1].size)
-            c = _pow2_at_least(n, 32)
+            m = min(pairs[i][0].size, pairs[i][1].size)
+            r = pairs[i][2]
+            n1 = max(n, 1)
+            R = r + ((n1 - m) * r + n1 - 1) // n1
+            c = (_pow2_at_least(n, 32), R % 2 == 0)
             by_class.setdefault(c, []).append(pos)
         order: list[int] = []
         for c in sorted(by_class):
@@ -216,11 +220,12 @@ def dtw_submit(
         s0 = 0
         for c in sorted(by_class):
             cnt = len(by_class[c])
-            per_tile = c * 4 * c * 4  # rough upper bound on panel bytes
+            csz = c[0]
+            per_tile = csz * 4 * csz * 4  # rough upper bound, panel bytes
             t_cap = max(256, memory_budget_bytes // max(per_tile, 1))
             for off in range(0, cnt, t_cap):
                 chunk = sub[s0 + off : s0 + off + min(t_cap, cnt - off)]
-                chunk_descs.append((s0 + off, chunk))
+                chunk_descs.append((s0 + off, chunk, bool(c[1])))
             s0 += cnt
         if _dtw_impl() == "pallas":
             # ONE jit dispatch for all class batches: per-call dispatch
@@ -231,13 +236,13 @@ def dtw_submit(
             from rawalign_tpu.map import dtw_pallas
 
             flat: list[np.ndarray] = []
-            metas: list[tuple[int, int]] = []
+            metas: list[tuple] = []
             corrs: list[np.ndarray] = []
-            for _, chunk in chunk_descs:
+            for _, chunk, plm_flag in chunk_descs:
                 batch = prepare_tiles(chunk)
                 args, corr = pallas_inputs(batch)
                 flat.extend(args)
-                metas.append((batch.dpw, batch.max_n))
+                metas.append((batch.dpw, batch.max_n, plm_flag))
                 corrs.append(corr)
             outs = dtw_pallas.dtw_banded_multi(
                 tuple(flat),
@@ -246,12 +251,12 @@ def dtw_submit(
             )
             small_pending = [
                 (s0c, len(chunk), _PendingPallas(outs[k], corrs[k]))
-                for k, (s0c, chunk) in enumerate(chunk_descs)
+                for k, (s0c, chunk, _plm) in enumerate(chunk_descs)
             ]
         else:
             small_pending = [
                 (s0c, len(chunk), dtw_banded_async(prepare_tiles(chunk)))
-                for s0c, chunk in chunk_descs
+                for s0c, chunk, _plm in chunk_descs
             ]
     large_costs = np.zeros(0, np.float32)
     if large_idx:
@@ -377,10 +382,24 @@ def dtw_submit_indexed(
         while p <= top:
             cls[a_len[small_idx] > p // 2] = p
             p *= 2
-        order = np.argsort(cls, kind="stable")
+        # sub-split every size class by R parity: plm (= R even) is a
+        # per-tile constant of the wavefront recurrence, so
+        # parity-uniform batches compile a kernel with the ~8
+        # plm-selects per iteration folded away (plm_static)
+        n64_all = np.maximum(a_len[small_idx].astype(np.int64), 1)
+        r_all = radius[small_idx].astype(np.int64)
+        R_all = r_all + (
+            (n64_all - b_len[small_idx].astype(np.int64)) * r_all
+            + n64_all - 1
+        ) // n64_all
+        parity = (R_all % 2 == 0).astype(np.int64)
+        key = cls * 2 + parity
+        order = np.argsort(key, kind="stable")
         small_idx = small_idx[order]
         cls = cls[order]
-        bounds = np.nonzero(np.diff(cls))[0] + 1
+        key = key[order]
+        parity = parity[order]
+        bounds = np.nonzero(np.diff(key))[0] + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [small_idx.size]])
         descs = []
@@ -396,6 +415,7 @@ def dtw_submit_indexed(
             half_lp = (R + np.where(R % 2 == 0, 1, 0)) // 2
             dpw = _pow2_at_least(int(R.max(initial=1)) + 3, 16)
             max_n = int(cls[s0])
+            plm_flag = bool(parity[s0])
             lb2 = _pow2_at_least(
                 int((bl.astype(np.int64) + half_lp + 1 + dpw).max(initial=1)),
                 32,
@@ -406,7 +426,7 @@ def dtw_submit_indexed(
             )
             descs.append(d)
             tp = d.shape[1]
-            metas.append((dpw, max_n, lb2, tp))
+            metas.append((dpw, max_n, lb2, tp, plm_flag))
             packed_chunks.append((int(s0), int(s1 - s0), out_off))
             out_off += tp
         Lev = max(256, ev_cat.size)
@@ -433,7 +453,7 @@ def dtw_submit_indexed(
         elif ev_dev is not None:
             # device-resident event pool: only descriptors cross the link
             blob = np.zeros(
-                sum(9 * tp for *_rest, tp in metas), dtype=np.float32
+                sum(9 * m[3] for m in metas), dtype=np.float32
             )
             off = 0
             for d in descs:
@@ -451,7 +471,7 @@ def dtw_submit_indexed(
             packed.copy_to_host_async()
         else:
             blob = np.zeros(
-                Lp + sum(9 * tp for *_rest, tp in metas), dtype=np.float32
+                Lp + sum(9 * m[3] for m in metas), dtype=np.float32
             )
             blob[: ev_cat.size] = ev_cat
             off = Lp
