@@ -72,7 +72,10 @@ def bench_mapping(ds, idx, mo):
     # scripts/bench_scaling.py). All passes map the full read set.
     dt = float("inf")
     results = None
-    for _trial in range(3):
+    # 6 passes: the tunnel's per-op latency swings 4x between windows
+    # within one hour (round-5 probes: 3 -> 12 ms/op pipelined); more
+    # windows = more chances to catch an uncontaminated one
+    for _trial in range(6):
         for k in engine.phase_times:
             engine.phase_times[k] = 0.0 if k != "rounds" else 0
         engine.phase_times["rounds"] = 0
