@@ -703,13 +703,18 @@ void ra_expand_round(
     const uint32_t* val_id, const uint32_t* val_ps, int64_t B, int64_t NS,
     int64_t A, int32_t* seg_b, int32_t* tgt_b, int32_t* qry_b,
     int32_t* n_anch, int64_t* out_stats) {
-  struct Anchor {
-    int64_t seg, tpos, qpos, occ;
-    int32_t idx;  // input position — the stable tie-break
-  };
+  // Sort keys are packed into one __uint128_t per anchor so the
+  // (seg, tpos, qpos, idx) lexicographic order is a single integer
+  // compare: 50Mb-scale rounds carry ~4M anchors and the struct
+  // comparator sort was the measured host wall there (2.0-2.8s/round;
+  // [tail] profile, round 5). Layout (high to low):
+  //   seg:41 | tpos:31 | qpos:32 | idx:24
+  // idx (the input-position stable tie-break) caps rows at 2^24
+  // anchors — far above the 2^17..2^19 anchor ceilings.
+  typedef unsigned __int128 u128;
   int64_t max_used = 0, max_true = 0, dropped = 0;
-  std::vector<Anchor> row_v;
-  std::vector<int32_t> sel;
+  std::vector<u128> keys;
+  std::vector<int32_t> occs;  // indexed by input position (idx)
   int64_t car_base = 0;
   for (int64_t b = 0; b < B; ++b) {
     const int64_t car_n = car_cnt ? (int64_t)car_cnt[b] : 0;
@@ -717,7 +722,8 @@ void ra_expand_round(
     car_base += car_n;
     n_anch[b] = 0;
     if (!live[b]) continue;
-    row_v.clear();
+    keys.clear();
+    occs.clear();
     const int32_t* lo = h_lo + b * NS;
     const int32_t* qp = h_qpos + b * NS;
     const int32_t* cnt = h_count + b * NS;
@@ -727,54 +733,70 @@ void ra_expand_round(
       for (int64_t j = 0; j < c; ++j) {
         const int64_t hidx = (int64_t)lo[s] + j;
         const uint32_t ps = val_ps[hidx];
-        Anchor a;
-        a.seg = (int64_t)val_id[hidx] * 2 + (int64_t)(ps & 1u);
-        a.tpos = (int64_t)((ps >> 1) & 0x7FFFFFFFu);
-        a.qpos = (int64_t)qp[s] + off;
-        a.occ = c;
-        a.idx = (int32_t)row_v.size();
-        row_v.push_back(a);
+        const uint64_t seg =
+            (uint64_t)val_id[hidx] * 2 + (uint64_t)(ps & 1u);
+        const uint64_t tpos = (uint64_t)((ps >> 1) & 0x7FFFFFFFu);
+        const uint64_t qpos = (uint64_t)((int64_t)qp[s] + off);
+        const uint64_t idx = (uint64_t)keys.size();
+        keys.push_back(((u128)seg << 87) | ((u128)tpos << 56) |
+                       ((u128)qpos << 24) | (u128)idx);
+        occs.push_back((int32_t)c);
       }
     }
     for (int64_t j = 0; j < car_n; ++j) {
-      Anchor a;
-      a.seg = car_seg[car_off + j];
-      a.tpos = car_tpos[car_off + j];
-      a.qpos = car_qpos[car_off + j];
-      a.occ = 0;  // carried anchors always survive the budget
-      a.idx = (int32_t)row_v.size();
-      row_v.push_back(a);
+      const uint64_t idx = (uint64_t)keys.size();
+      keys.push_back(((u128)(uint64_t)car_seg[car_off + j] << 87) |
+                     ((u128)(uint64_t)car_tpos[car_off + j] << 56) |
+                     ((u128)(uint64_t)car_qpos[car_off + j] << 24) |
+                     (u128)idx);
+      occs.push_back(0);  // carried anchors always survive the budget
     }
-    int64_t m = (int64_t)row_v.size();
+    int64_t m = (int64_t)keys.size();
     if (!m) continue;
-    std::sort(row_v.begin(), row_v.end(), [](const Anchor& x, const Anchor& y) {
-      if (x.seg != y.seg) return x.seg < y.seg;
-      if (x.tpos != y.tpos) return x.tpos < y.tpos;
-      if (x.qpos != y.qpos) return x.qpos < y.qpos;
-      return x.idx < y.idx;
-    });
+    std::sort(keys.begin(), keys.end());
     if (m > max_true) max_true = m;
     if (m > A) {
       // keep the A anchors with the smallest parent-seed occurrence,
-      // stable in sorted position (occ-ranked adaptive drop)
+      // stable in sorted position (occ-ranked adaptive drop).
+      // Equivalent to stable-sort-by-occ + take-A + restore-position,
+      // but O(m) via an occurrence histogram: keep every anchor with
+      // occ < T, plus the first (A - count_below_T) anchors with
+      // occ == T in sorted-position order — exactly the prefix a
+      // stable sort by occ would select. occ values are bounded by
+      // the engine's per-seed cap (max_occ), so the histogram is small.
       dropped += m - A;
-      sel.resize(m);
-      for (int64_t i = 0; i < m; ++i) sel[i] = (int32_t)i;
-      std::stable_sort(sel.begin(), sel.end(), [&](int32_t x, int32_t y) {
-        return row_v[x].occ < row_v[y].occ;
-      });
-      sel.resize(A);
-      std::sort(sel.begin(), sel.end());
-      for (int64_t i = 0; i < A; ++i) row_v[i] = row_v[sel[i]];
+      int32_t occ_max = 0;
+      for (int64_t i = 0; i < m; ++i)
+        if (occs[i] > occ_max) occ_max = occs[i];
+      std::vector<int64_t> hist((size_t)occ_max + 1, 0);
+      for (int64_t i = 0; i < m; ++i) ++hist[occs[i]];
+      int64_t cum = 0;
+      int32_t T = 0;
+      for (; T <= occ_max; ++T) {
+        if (cum + hist[T] >= A) break;
+        cum += hist[T];
+      }
+      int64_t quota = A - cum;  // occ==T anchors to keep
+      int64_t w = 0;
+      for (int64_t i = 0; i < m && w < A; ++i) {
+        const int32_t o = occs[(uint32_t)(keys[i] & 0xFFFFFF)];
+        if (o < T) {
+          keys[w++] = keys[i];
+        } else if (o == T && quota > 0) {
+          keys[w++] = keys[i];
+          --quota;
+        }
+      }
       m = A;
     }
     int32_t* sb = seg_b + b * A;
     int32_t* tb = tgt_b + b * A;
     int32_t* qb = qry_b + b * A;
     for (int64_t i = 0; i < m; ++i) {
-      sb[i] = (int32_t)row_v[i].seg;
-      tb[i] = (int32_t)row_v[i].tpos;
-      qb[i] = (int32_t)row_v[i].qpos;
+      const u128 k = keys[i];
+      sb[i] = (int32_t)(uint64_t)(k >> 87);
+      tb[i] = (int32_t)((uint64_t)(k >> 56) & 0x7FFFFFFFu);
+      qb[i] = (int32_t)((uint64_t)(k >> 24) & 0xFFFFFFFFu);
     }
     n_anch[b] = (int32_t)m;
     if (m > max_used) max_used = m;

@@ -1233,12 +1233,18 @@ class MappingEngine:
             use_dtw_eval = bool(opt.flag & MappingFlag.DTW_EVALUATE_CHAINS)
 
             def _work():
+                import os as _os
+                import time as _time
+
+                prof = _os.environ.get("RAWALIGN_TPU_TAIL_PROF")
+                t0 = _time.perf_counter()
                 _, _, dropped = manchors.expand_round(
                     h_lo, h_qpos, h_count,
                     chain_this_round, read_offsets, carried_lists,
                     self._h_val_id, self._h_val_ps, A,
                     seg_b, tgt_b, qry_b, n_anch,
                 )
+                t1 = _time.perf_counter()
                 scores, preds = native.chain_dp(
                     seg_b, tgt_b, qry_b, n_anch,
                     window=self.chain_window,
@@ -1247,6 +1253,13 @@ class MappingEngine:
                     max_target_gap=opt.max_target_gap_length,
                     max_skips=opt.max_num_skips,
                 )
+                t2 = _time.perf_counter()
+                if prof:
+                    print(
+                        f"[tail] A={A} n={int(n_anch.sum())} "
+                        f"expand={t1-t0:.3f}s dp={t2-t1:.3f}s",
+                        flush=True,
+                    )
                 if fin_native:
                     from rawalign_tpu.map.postprocess import (
                         BorderConstraint,
@@ -1276,6 +1289,11 @@ class MappingEngine:
                         segbase=self._segbase_tbl,
                         ev_base=self._evbase_arr,
                     )
+                    if prof:
+                        print(
+                            f"[tail] chains={_time.perf_counter()-t2:.3f}s",
+                            flush=True,
+                        )
                     return dropped, rec, None
                 chains_map: dict[int, list[gchain.Chain]] = {}
                 for i in range(B):
