@@ -195,11 +195,17 @@ def run_scale(genome_kb: int, n_reads: int, flood: bool) -> dict:
     mo = config.MappingOptions()
     config.set_opt("sensitive", io, mo)
     idx_ours = dindex.build_index(ds.seqs, ds.model.pore_vals, io)
-    our_paf, counters = engine_map(idx_ours, ds, batch_size=64)
+    # 50Mb-scale key multiplicity exceeds the default 128k anchor
+    # ceiling (reads carry ~135k true anchors); byte parity with the
+    # uncapped reference needs headroom
+    kw = dict(batch_size=64)
+    if genome_kb >= 20000:
+        kw["max_anchors_ceiling"] = 1 << 19
+    our_paf, counters = engine_map(idx_ours, ds, **kw)
 
     # bar 1: reference .ind loaded by us -> byte-identical to our index
     idx_loaded = load_reference_index(ind)
-    loaded_paf, _ = engine_map(idx_loaded, ds, batch_size=64)
+    loaded_paf, _ = engine_map(idx_loaded, ds, **kw)
     out["interop_ref_to_us_identical"] = strip_mt(loaded_paf) == strip_mt(
         our_paf
     )
@@ -266,7 +272,7 @@ def run_scale(genome_kb: int, n_reads: int, flood: bool) -> dict:
     if os.path.exists(FPEXACT_BIN):
         ind_fp = os.path.join(data, "ref_fpexact.ind")
         ref_paf_cig = binary_map(ind_fp, sraw, FPEXACT_BIN, cigar=True)
-        our_paf_cig, _ = engine_map(idx_ours, ds, batch_size=64, cigar=True)
+        our_paf_cig, _ = engine_map(idx_ours, ds, cigar=True, **kw)
         stc = compare_pafs(ref_paf_cig, our_paf_cig)
         bmc = max(stc["both_mapped"], 1)
         out["cigar_vs_fpexact_binary"] = {
