@@ -200,7 +200,12 @@ def run_scale(genome_kb: int, n_reads: int, flood: bool) -> dict:
     # uncapped reference needs headroom
     kw = dict(batch_size=64)
     if genome_kb >= 20000:
-        kw["max_anchors_ceiling"] = 1 << 19
+        # 50Mb max key multiplicity exceeds the default per-seed cap
+        # (max_occ=4096 dropped 30M hits there) and the true per-read
+        # anchor demand exceeds the default 128k ceiling; parity with
+        # the uncapped reference (rmap.cpp:371-391) needs both raised
+        kw["max_anchors_ceiling"] = 1 << 20
+        kw["max_occ"] = 1 << 15
     our_paf, counters = engine_map(idx_ours, ds, **kw)
 
     # bar 1: reference .ind loaded by us -> byte-identical to our index
