@@ -66,6 +66,31 @@ void ra_znorm_sums(const float* v, int64_t n, double* out_sum,
   *out_sum2 = s2;
 }
 
+// Gather pore-model values for a k-mer code array (the 50Mb
+// reference-signal fill: numpy fancy indexing + astype paid two full
+// passes and an extra copy — measured 2.9s per strand there).
+void ra_pore_gather(const int32_t* kmers, int64_t n, const float* pore,
+                    float* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = pore[kmers[i]];
+}
+
+// In-place z-normalize with the reference's exact arithmetic
+// (rsig.cpp:37-38: double (v - mean) / std, one rounding to float at
+// the store). NumPy promotes the whole array to float64 for this
+// (three full 400MB passes at 50Mb); this is one pass.
+void ra_znorm_apply(float* v, int64_t n, double mean, double std_dev) {
+  for (int64_t i = 0; i < n; ++i)
+    v[i] = (float)(((double)v[i] - mean) / std_dev);
+}
+
+// Pack (hash << 32 | ps) seed keys in one pass (the numpy widen+shift+or
+// chain makes three full u64 passes — ~4s per strand at 50Mb).
+void ra_pack_seeds(const uint32_t* h, const uint32_t* ps, int64_t n,
+                   uint64_t* out) {
+  for (int64_t i = 0; i < n; ++i)
+    out[i] = ((uint64_t)h[i] << 32) | (uint64_t)ps[i];
+}
+
 // Plain-mode sketch: emits one seed per kept event once e events are
 // packed. Outputs hash (32-bit) and event index arrays; returns the seed
 // count. Output buffers must hold at least n entries.

@@ -188,9 +188,12 @@ def _build_seq(rid, seq, pore_vals, opt, use_native):
         # y order is ascending exactly like the reference's per-bucket
         # radix sort (rawindex.cpp:233). (hash, ps) pairs are unique per
         # sequence, so plain sort order == (hash, id, ps) order.
-        packed = (h.astype(np.uint64) << np.uint64(32)) | ps.astype(
-            np.uint64
-        )
+        if use_native and native.pack_seeds_available():
+            packed = native.pack_seeds(h, ps)  # one pass vs three
+        else:
+            packed = (h.astype(np.uint64) << np.uint64(32)) | ps.astype(
+                np.uint64
+            )
         packed.sort(kind="stable")  # radix for integer dtypes
     else:
         packed = np.zeros(0, np.uint64)

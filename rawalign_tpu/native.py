@@ -80,6 +80,17 @@ def load() -> ctypes.CDLL | None:
             f32, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ]
+    if hasattr(lib, "ra_pack_seeds"):
+        u64arr = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.ra_pack_seeds.restype = None
+        lib.ra_pack_seeds.argtypes = [u32, u32, ctypes.c_int64, u64arr]
+    if hasattr(lib, "ra_pore_gather"):
+        lib.ra_pore_gather.restype = None
+        lib.ra_pore_gather.argtypes = [i32arr, ctypes.c_int64, f32, f32]
+        lib.ra_znorm_apply.restype = None
+        lib.ra_znorm_apply.argtypes = [
+            f32, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ]
     if hasattr(lib, "ra_chain_dp"):
         lib.ra_chain_dp.restype = None
         lib.ra_chain_dp.argtypes = [
@@ -163,6 +174,43 @@ def znorm_sums(values: np.ndarray) -> tuple[float, float]:
     s2 = ctypes.c_double()
     lib.ra_znorm_sums(values, values.size, ctypes.byref(s), ctypes.byref(s2))
     return s.value, s2.value
+
+
+def pack_seeds_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_pack_seeds")
+
+
+def pack_seeds(h: np.ndarray, ps: np.ndarray) -> np.ndarray:
+    """(h << 32 | ps) as uint64 in one C pass."""
+    lib = load()
+    h = np.ascontiguousarray(h, dtype=np.uint32)
+    ps = np.ascontiguousarray(ps, dtype=np.uint32)
+    out = np.empty(h.size, dtype=np.uint64)
+    lib.ra_pack_seeds(h, ps, h.size, out)
+    return out
+
+
+def pore_gather_available() -> bool:
+    lib = load()
+    return lib is not None and hasattr(lib, "ra_pore_gather")
+
+
+def pore_gather(kmers: np.ndarray, pore_vals: np.ndarray) -> np.ndarray:
+    """out[i] = pore_vals[kmers[i]] in one C pass."""
+    lib = load()
+    kmers = np.ascontiguousarray(kmers, dtype=np.int32)
+    pore_vals = np.ascontiguousarray(pore_vals, dtype=np.float32)
+    out = np.empty(kmers.size, dtype=np.float32)
+    lib.ra_pore_gather(kmers, kmers.size, pore_vals, out)
+    return out
+
+
+def znorm_apply(vals: np.ndarray, mean: float, std: float) -> None:
+    """In-place (v - mean)/std with the reference's double arithmetic
+    and a single rounding to float32 (rsig.cpp:37-38)."""
+    lib = load()
+    lib.ra_znorm_apply(vals, vals.size, float(mean), float(std))
 
 
 def sketch_reg(values: np.ndarray, e: int, q: int, lq: int):

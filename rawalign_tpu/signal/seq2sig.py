@@ -63,22 +63,29 @@ def seq_to_sig(
         kmers <<= 2
         kmers |= eff[j : n - k + 1 + j]
 
-    vals = pore_vals[kmers].astype(np.float32)
     # Double-precision accumulators, as the reference (rsig.cpp:12,30-35).
     # The reference folds sequentially (`sum += curval`); np.sum's
     # pairwise summation rounds the low bits differently, which shifts
     # mean/std by ~1 ulp and flips a handful of normalized values per
     # megabase (visible only in --dtw-output-cigar per-element
     # differences) — so use the native order-exact left-fold when built.
+    # The gather and the normalize also run in C single-pass when built:
+    # at 50Mb the numpy fancy-index + float64-promoted normalize cost
+    # ~8s/strand (three full-array passes), ~2/3 of the index build.
     from rawalign_tpu import native
 
-    if native.znorm_sums_available():
+    if native.znorm_sums_available() and native.pore_gather_available():
+        vals = native.pore_gather(kmers, pore_vals)
         # np.float64: python-float scalars are "weak" under NumPy 2
-        # promotion and would drop the normalize below to float32
+        # promotion and would drop a numpy normalize to float32
         s, s2 = (np.float64(x) for x in native.znorm_sums(vals))
-    else:
-        s = np.sum(vals, dtype=np.float64)
-        s2 = np.sum(vals.astype(np.float64) ** 2)
+        m = s / vals.size
+        std = np.sqrt(s2 / vals.size - m * m)
+        native.znorm_apply(vals, float(m), float(std))
+        return vals
+    vals = pore_vals[kmers].astype(np.float32)
+    s = np.sum(vals, dtype=np.float64)
+    s2 = np.sum(vals.astype(np.float64) ** 2)
     m = s / vals.size
     std = np.sqrt(s2 / vals.size - m * m)
     return ((vals - m) / std).astype(np.float32)
