@@ -292,6 +292,27 @@ def main():
     # rounds 1-3 headlined a DTW-cells proxy whose device timing was
     # dispatch rate, not completion (see bench_dtw_device docstring).
     vs_baseline = e2e.get("vs_reference_host_end_to_end", 0.0)
+
+    # scale context: the default 200kb scale is tunnel-latency bound on
+    # this dev setup; the same engine overtakes the reference's full
+    # host from 5Mb up (docs/bench_scales_r5.json, full protocol)
+    scale_rows = {}
+    try:
+        import os as _os
+
+        with open(
+            _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                          "docs", "bench_scales_r5.json")
+        ) as f:
+            scale_rows = {
+                k: {
+                    "reads_per_sec": v["reads_per_sec"],
+                    "vs_ref_host": v["vs_ref_host"],
+                }
+                for k, v in json.load(f)["rows"].items()
+            }
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -326,6 +347,7 @@ def main():
                         "sustained compute rate)"
                     ),
                     "end_to_end_baseline": e2e,
+                    "other_scales_vs_ref_host": scale_rows,
                 },
             }
         )
